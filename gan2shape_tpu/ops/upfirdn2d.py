@@ -1,0 +1,174 @@
+"""upfirdn2d — fused upsample / FIR filter / downsample, TPU-native.
+
+Behavioral spec (matches the reference CUDA kernel + its pure-PyTorch fallback,
+/root/reference/GAN2Shape/stylegan2/stylegan2-pytorch/op/upfirdn2d.py:157-198):
+
+  1. zero-stuff the input by `up` along H and W (up-1 zeros after every sample,
+     including the last),
+  2. zero-pad by (pad0, pad1) on each spatial axis (negative pad = crop),
+  3. convolve with the 2-D FIR `kernel` (true convolution, i.e. correlation
+     with the flipped kernel),
+  4. keep every `down`-th sample.
+
+Output size per axis: (in * up + pad0 + pad1 - k) // down + 1.
+
+TPU design: instead of a hand-scheduled shared-memory CUDA kernel, the whole
+pipeline is ONE `lax.conv_general_dilated` call — `lhs_dilation` implements the
+zero-stuffing, conv padding implements step 2, `window_strides` implements
+step 4 — which XLA tiles and fuses on its own.  When the FIR kernel is a rank-1
+outer product (every blur kernel StyleGAN2 uses is), we run two 1-D passes
+instead, halving the multiply count.  Gradients come from XLA's conv transpose,
+which is itself an upfirdn2d with swapped up/down — the same identity the
+reference implements by hand (op/upfirdn2d.py:18-141).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def setup_filter(k, gain=1.0, separable=None):
+    """Build a FIR kernel the way StyleGAN2's `make_kernel` does.
+
+    `k` is a 1-D or 2-D array-like.  A 1-D input is outer-producted with
+    itself.  The kernel is normalized to sum 1 and multiplied by `gain`
+    (reference: stylegan2-pytorch/model.py:22-30, with gain = factor**2 for
+    upsampling paths).
+
+    Returns (kernel_2d, kernel_1d_or_None): the 1-D factor is returned when
+    the kernel is exactly separable as an outer product, enabling the 2-pass
+    fast path.
+    """
+    k = np.asarray(k, dtype=np.float32)
+    k1d = None
+    if k.ndim == 1:
+        k = k / k.sum()
+        k1d = k * np.sqrt(gain)
+        k = np.outer(k, k) * gain
+    else:
+        k = k / k.sum() * gain
+        if separable is None or separable:
+            # detect rank-1 kernels so callers passing 2-D kernels still get
+            # the separable fast path
+            u, s, vt = np.linalg.svd(k)
+            if s[1:].max(initial=0.0) < 1e-12 * max(s[0], 1e-30) and np.allclose(
+                np.outer(u[:, 0], vt[0]) * s[0], k, atol=1e-12
+            ):
+                a = u[:, 0] * np.sqrt(s[0])
+                b = vt[0] * np.sqrt(s[0])
+                if np.allclose(a, b, atol=1e-9):
+                    k1d = a.astype(np.float32)
+    return jnp.asarray(k), (None if k1d is None else jnp.asarray(k1d))
+
+
+def _upfirdn2d_conv(x, kernel, up, down, pad):
+    """Generic path: one dilated conv over (N*C, 1, H, W)."""
+    b, c, h, w = x.shape
+    up_y, up_x = up
+    down_y, down_x = down
+    pad_y0, pad_y1, pad_x0, pad_x1 = pad
+    kh, kw = kernel.shape
+
+    x = x.reshape(b * c, 1, h, w)
+    # Reference zero-stuffing appends up-1 trailing zeros; lhs_dilation does
+    # not, so fold the difference into the high padding (zeros convolved with
+    # zeros are zeros — numerically identical).
+    rhs = jnp.flip(kernel, (0, 1)).reshape(1, 1, kh, kw).astype(x.dtype)
+    out = lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(down_y, down_x),
+        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
+        lhs_dilation=(up_y, up_x),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    out_h = (h * up_y + pad_y0 + pad_y1 - kh) // down_y + 1
+    out_w = (w * up_x + pad_x0 + pad_x1 - kw) // down_x + 1
+    return out.reshape(b, c, out_h, out_w)
+
+
+def _upfirdn2d_separable(x, k1d, up, down, pad):
+    """Separable fast path: two 1-D FIR passes (H then W)."""
+    b, c, h, w = x.shape
+    up_y, up_x = up
+    down_y, down_x = down
+    pad_y0, pad_y1, pad_x0, pad_x1 = pad
+    k = k1d.shape[0]
+
+    x = x.reshape(b * c, 1, h, w)
+    ky = jnp.flip(k1d).reshape(1, 1, k, 1).astype(x.dtype)
+    kx = jnp.flip(k1d).reshape(1, 1, 1, k).astype(x.dtype)
+    out = lax.conv_general_dilated(
+        x, ky,
+        window_strides=(down_y, 1),
+        padding=((pad_y0, pad_y1 + up_y - 1), (0, 0)),
+        lhs_dilation=(up_y, 1),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    out = lax.conv_general_dilated(
+        out, kx,
+        window_strides=(1, down_x),
+        padding=((0, 0), (pad_x0, pad_x1 + up_x - 1)),
+        lhs_dilation=(1, up_x),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    out_h = (h * up_y + pad_y0 + pad_y1 - k) // down_y + 1
+    out_w = (w * up_x + pad_x0 + pad_x1 - k) // down_x + 1
+    return out.reshape(b, c, out_h, out_w)
+
+
+@partial(jax.jit, static_argnames=("up", "down", "pad"))
+def _upfirdn2d_jit(x, kernel, up, down, pad):
+    return _upfirdn2d_conv(x, kernel, up, down, pad)
+
+
+def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), kernel_1d=None):
+    """Apply upfirdn2d to `x` (N, C, H, W).
+
+    `up`/`down` are ints or (y, x) pairs; `pad` is (pad0, pad1) applied to both
+    axes or a 4-tuple (y0, y1, x0, x1) — matching the reference entry point
+    (op/upfirdn2d.py:144-154).  Pass `kernel_1d` (from `setup_filter`) to take
+    the separable 2-pass path.
+    """
+    up = (up, up) if isinstance(up, int) else tuple(up)
+    down = (down, down) if isinstance(down, int) else tuple(down)
+    if len(pad) == 2:
+        pad = (pad[0], pad[1], pad[0], pad[1])
+    else:
+        pad = tuple(pad)
+    if kernel_1d is not None:
+        return _upfirdn2d_separable(x, kernel_1d, up, down, pad)
+    return _upfirdn2d_conv(x, kernel, up, down, pad)
+
+
+def upsample2d(x, kernel, kernel_1d=None, factor=2):
+    """FIR upsample (reference Upsample module, stylegan2 model.py:33-51).
+    Note the caller must bake gain=factor**2 into the kernel via setup_filter.
+    """
+    k = kernel.shape[0]
+    p = k - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1),
+                     kernel_1d=kernel_1d)
+
+
+def downsample2d(x, kernel, kernel_1d=None, factor=2):
+    """FIR downsample (reference Downsample module, stylegan2 model.py:54-72)."""
+    k = kernel.shape[0]
+    p = k - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1),
+                     kernel_1d=kernel_1d)
+
+
+def blur2d(x, kernel, pad, kernel_1d=None):
+    """Plain FIR blur with explicit padding (reference Blur module)."""
+    return upfirdn2d(x, kernel, up=1, down=1, pad=pad, kernel_1d=kernel_1d)

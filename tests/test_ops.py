@@ -1,0 +1,168 @@
+"""Unit tests for the numerics kernels against independent oracles
+(numpy loops and torch CPU — the same role the reference's pure-PyTorch
+fallbacks play for its CUDA kernels, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as tF
+import pytest
+
+from gan2shape_tpu.ops import (
+    upfirdn2d, setup_filter, fused_leaky_relu, inverse_fused_leaky_relu,
+    grid_sample, resize, crop,
+)
+from gan2shape_tpu.ops.upfirdn2d import upsample2d, downsample2d
+
+
+def upfirdn2d_numpy(x, k, up, down, pad):
+    """Independent loop oracle for upfirdn2d semantics."""
+    b, c, h, w = x.shape
+    uy, ux = up
+    dy, dx = down
+    p_y0, p_y1, p_x0, p_x1 = pad
+    kh, kw = k.shape
+    # zero-stuff
+    z = np.zeros((b, c, h * uy, w * ux), x.dtype)
+    z[:, :, ::uy, ::ux] = x
+    # pad (negative = crop)
+    H, W = h * uy + p_y0 + p_y1, w * ux + p_x0 + p_x1
+    out = np.zeros((b, c, H, W), x.dtype)
+    ys = slice(max(p_y0, 0), max(p_y0, 0) + z.shape[2] - max(-p_y0, 0) - max(-p_y1, 0))
+    xs = slice(max(p_x0, 0), max(p_x0, 0) + z.shape[3] - max(-p_x0, 0) - max(-p_x1, 0))
+    out[:, :, ys, xs] = z[:, :, max(-p_y0, 0):z.shape[2] - max(-p_y1, 0),
+                          max(-p_x0, 0):z.shape[3] - max(-p_x1, 0)]
+    # true convolution with kernel
+    oh, ow = H - kh + 1, W - kw + 1
+    res = np.zeros((b, c, oh, ow), np.float64)
+    kf = k[::-1, ::-1]
+    for i in range(kh):
+        for j in range(kw):
+            res += out[:, :, i:i + oh, j:j + ow] * kf[i, j]
+    return res[:, :, ::dy, ::dx].astype(x.dtype)
+
+
+@pytest.mark.parametrize("up,down,pad", [
+    ((1, 1), (1, 1), (1, 1, 1, 1)),
+    ((2, 2), (1, 1), (2, 1, 2, 1)),
+    ((1, 1), (2, 2), (1, 1, 1, 1)),
+    ((1, 1), (1, 1), (-1, 2, 0, -1)),
+    ((2, 2), (2, 2), (2, 2, 2, 2)),
+])
+def test_upfirdn2d_matches_oracle(rng, up, down, pad):
+    x = rng.standard_normal((2, 3, 11, 13)).astype(np.float32)
+    k2d, k1d = setup_filter([1, 3, 3, 1])
+    k = np.asarray(k2d)
+    want = upfirdn2d_numpy(x, k, up, down, pad)
+    got = np.asarray(upfirdn2d(jnp.asarray(x), k2d, up=up, down=down, pad=pad))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # separable fast path must agree
+    got_sep = np.asarray(upfirdn2d(jnp.asarray(x), k2d, up=up, down=down,
+                                   pad=pad, kernel_1d=k1d))
+    np.testing.assert_allclose(got_sep, want, atol=1e-5)
+
+
+def test_upfirdn2d_asymmetric_kernel(rng):
+    x = rng.standard_normal((1, 2, 9, 9)).astype(np.float32)
+    k = rng.standard_normal((3, 4)).astype(np.float32)
+    want = upfirdn2d_numpy(x, k, (2, 2), (1, 1), (1, 1, 1, 1))
+    got = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=2, down=1,
+                               pad=(1, 1)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_up_down_sample_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16)).astype(np.float32))
+    k_up, k_up1 = setup_filter([1, 3, 3, 1], gain=4)
+    k_dn, k_dn1 = setup_filter([1, 3, 3, 1])
+    assert upsample2d(x, k_up, k_up1).shape == (1, 4, 32, 32)
+    assert downsample2d(x, k_dn, k_dn1).shape == (1, 4, 8, 8)
+
+
+def test_upfirdn2d_grad_flows(rng):
+    x = jnp.asarray(rng.standard_normal((1, 1, 8, 8)).astype(np.float32))
+    k2d, k1d = setup_filter([1, 3, 3, 1], gain=4)
+
+    def f(x):
+        return jnp.sum(upsample2d(x, k2d, k1d) ** 2)
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_fused_leaky_relu_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 4, 4)).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    want = (2 ** 0.5) * tF.leaky_relu(
+        torch.from_numpy(x) + torch.from_numpy(b).view(1, -1, 1, 1), 0.2)
+    got = np.asarray(fused_leaky_relu(jnp.asarray(x), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-6)
+    # 2-D (linear layer) input
+    x2 = rng.standard_normal((3, 5)).astype(np.float32)
+    want2 = (2 ** 0.5) * tF.leaky_relu(
+        torch.from_numpy(x2) + torch.from_numpy(b).view(1, -1), 0.2)
+    got2 = np.asarray(fused_leaky_relu(jnp.asarray(x2), jnp.asarray(b)))
+    np.testing.assert_allclose(got2, want2.numpy(), atol=1e-6)
+
+
+def test_inverse_fused_leaky_relu_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(5).astype(np.float32))
+    y = fused_leaky_relu(x, b)
+    x_rec = inverse_fused_leaky_relu(y, b)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_grid_sample_matches_torch(rng, mode):
+    x = rng.standard_normal((2, 3, 9, 7)).astype(np.float32)
+    grid = (rng.random((2, 5, 6, 2)).astype(np.float32) * 2.4 - 1.2)
+    want = tF.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                          mode=mode, padding_mode="zeros", align_corners=True)
+    got = np.asarray(grid_sample(jnp.asarray(x), jnp.asarray(grid), mode=mode))
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5)
+
+
+def test_grid_sample_grads_match_torch(rng):
+    x = rng.standard_normal((1, 2, 6, 6)).astype(np.float32)
+    grid = (rng.random((1, 4, 4, 2)).astype(np.float32) * 1.8 - 0.9)
+
+    tx = torch.from_numpy(x).requires_grad_(True)
+    tg = torch.from_numpy(grid).requires_grad_(True)
+    tF.grid_sample(tx, tg, mode="bilinear", padding_mode="zeros",
+                   align_corners=True).sum().backward()
+
+    gx, gg = jax.grad(
+        lambda x_, g_: jnp.sum(grid_sample(x_, g_)), argnums=(0, 1)
+    )(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(gx), tx.grad.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg), tg.grad.numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(8, 16), (128, 473), (16, 8),
+                                              (473, 128), (12, 12)])
+def test_resize_matches_torch(rng, in_size, out_size):
+    x = rng.standard_normal((2, 3, in_size, in_size)).astype(np.float32)
+    if out_size > in_size:
+        want = tF.interpolate(torch.from_numpy(x), (out_size, out_size),
+                              mode="bilinear", align_corners=False)
+    elif out_size < in_size:
+        want = tF.interpolate(torch.from_numpy(x), (out_size, out_size),
+                              mode="area")
+    else:
+        want = torch.from_numpy(x)
+    got = np.asarray(resize(jnp.asarray(x), (out_size, out_size)))
+    np.testing.assert_allclose(got, want.numpy(), atol=2e-4)
+
+
+def test_resize_3d_input(rng):
+    x = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    assert resize(jnp.asarray(x), (16, 16)).shape == (2, 16, 16)
+
+
+def test_crop():
+    x = jnp.arange(36, dtype=jnp.float32).reshape(1, 1, 6, 6)
+    out = crop(x, 4)
+    assert out.shape == (1, 1, 4, 4)
+    assert out[0, 0, 0, 0] == 7.0
