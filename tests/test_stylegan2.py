@@ -1,0 +1,187 @@
+"""StyleGAN2 stack tests: the activation-modulation reformulation against a
+direct per-sample weight-modulation oracle, mapping-network partial-execution
+semantics, inversion roundtrips, and discriminator feature taps."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import pytest
+
+from gan2shape_tpu.models.stylegan2 import (
+    Generator, Discriminator, ModulatedConv2d, EqualLinear, pixel_norm,
+)
+from gan2shape_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
+
+
+def _direct_modconv(x, weight, style, scale, demodulate, kernel_size):
+    """Oracle: explicit per-sample modulated weights, one conv per sample
+    (the formulation the reference implements with grouped convs)."""
+    b = x.shape[0]
+    outs = []
+    for i in range(b):
+        w = scale * weight[0] * style[i][None, :, None, None]  # (O,I,k,k)
+        if demodulate:
+            demod = 1.0 / jnp.sqrt(jnp.sum(w ** 2, axis=(1, 2, 3)) + 1e-8)
+            w = w * demod[:, None, None, None]
+        out = lax.conv_general_dilated(
+            x[i:i + 1], w, (1, 1),
+            ((kernel_size // 2,) * 2, (kernel_size // 2,) * 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST)
+        outs.append(out)
+    return jnp.concatenate(outs, 0)
+
+
+def _direct_modconv_up(x, weight, style, scale, demodulate):
+    """Oracle for the upsample path: per-sample transposed conv + blur."""
+    b, in_c, h, w_sz = x.shape
+    k = weight.shape[-1]
+    kern, kern1 = setup_filter([1, 3, 3, 1], gain=4)
+    p = (4 - 2) - (k - 1)
+    pad = ((p + 1) // 2 + 2 - 1, p // 2 + 1)
+    outs = []
+    for i in range(b):
+        w = scale * weight[0] * style[i][None, :, None, None]
+        if demodulate:
+            demod = 1.0 / jnp.sqrt(jnp.sum(w ** 2, axis=(1, 2, 3)) + 1e-8)
+            w = w * demod[:, None, None, None]
+        # torch conv_transpose2d(stride=2, padding=0) with weight (I,O,k,k)
+        rhs = jnp.flip(w, (2, 3))  # (O,I,k,k) correlate-form
+        out = lax.conv_general_dilated(
+            x[i:i + 1], rhs, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST)
+        outs.append(out)
+    out = jnp.concatenate(outs, 0)
+    return upfirdn2d(out, kern, pad=pad, kernel_1d=kern1)
+
+
+@pytest.mark.parametrize("demodulate", [True, False])
+def test_modulated_conv_matches_direct(rng, demodulate):
+    mod = ModulatedConv2d(8, 12, 3, 16, demodulate=demodulate)
+    x = jnp.asarray(rng.standard_normal((3, 8, 10, 10)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x, s)
+    got = mod.apply(params, x, s)
+
+    # recompute the modulation affine exactly as the module does
+    p = params["params"]
+    w_lin = p["modulation"]["weight"] * (1.0 / math.sqrt(16))
+    style = jnp.matmul(s, w_lin.T) + p["modulation"]["bias"]
+    scale = 1.0 / math.sqrt(8 * 9)
+    want = _direct_modconv(x, p["weight"], style, scale, demodulate, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_modulated_conv_upsample_matches_direct(rng):
+    mod = ModulatedConv2d(8, 12, 3, 16, upsample=True)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x, s)
+    got = mod.apply(params, x, s)
+    assert got.shape == (2, 12, 16, 16)
+
+    p = params["params"]
+    w_lin = p["modulation"]["weight"] * (1.0 / math.sqrt(16))
+    style = jnp.matmul(s, w_lin.T) + p["modulation"]["bias"]
+    scale = 1.0 / math.sqrt(8 * 9)
+    want = _direct_modconv_up(x, p["weight"], style, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+# helper: deterministic zero noise without threading a key through tests
+def _zero_noise(gen):
+    noises = []
+    for i in range(gen.num_layers):
+        res = 2 ** ((i + 5) // 2)
+        noises.append(jnp.zeros((1, 1, res, res)))
+    return noises
+
+
+def test_generator_forward_shapes(rng):
+    gen = Generator(size=64, style_dim=64, n_mlp=4, channel_multiplier=1)
+    noise = _zero_noise(gen)
+    w = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), [w], noise, input_is_w=True)
+    img, _ = gen.apply(params, [w], noise, input_is_w=True)
+    assert img.shape == (2, 3, 64, 64)
+    assert gen.apply(params, [w], noise, input_is_w=True,
+                     return_features=True)[1][-1].shape[1] == 256  # chans[64]
+
+
+def test_style_forward_partial_composition(rng):
+    gen = Generator(size=64, style_dim=64, n_mlp=4)
+    noise = _zero_noise(gen)
+    z = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), [z], noise, input_is_w=False)
+
+    full = gen.apply(params, z, method="style_forward")
+    head = gen.apply(params, z, depth=3, method="style_forward")
+    tail = gen.apply(params, head, skip=3, method="style_forward")
+    np.testing.assert_allclose(np.asarray(tail), np.asarray(full), atol=1e-5)
+
+
+def test_style_invert_roundtrip(rng):
+    # 2 layers: each inversion of a random equalized-LR matrix amplifies
+    # rounding error by ~cond(W) in f32 (identical behavior in the torch
+    # reference); deep roundtrips are ill-conditioned by construction and
+    # style_invert is not in the training path.
+    gen = Generator(size=64, style_dim=64, n_mlp=2)
+    noise = _zero_noise(gen)
+    z = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), [z], noise, input_is_w=False)
+    w = gen.apply(params, z, method="style_forward")
+    z_rec = gen.apply(params, w, method="style_invert")
+    np.testing.assert_allclose(np.asarray(z_rec),
+                               np.asarray(pixel_norm(z)), atol=2e-2)
+
+
+def test_generator_truncation(rng):
+    gen = Generator(size=64, style_dim=64, n_mlp=4)
+    noise = _zero_noise(gen)
+    w = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), [w], noise, input_is_w=True)
+    mean = jnp.zeros((1, 64))
+    img_t, _ = gen.apply(params, [w], noise, input_is_w=True,
+                         truncation=0.5, truncation_latent=mean)
+    img_h, _ = gen.apply(params, [0.5 * w], noise, input_is_w=True)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_h), atol=1e-4)
+
+
+def test_generator_invert(rng):
+    gen = Generator(size=64, style_dim=64, n_mlp=4)
+    noise = _zero_noise(gen)
+    w = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), [w], noise, input_is_w=True)
+    offset = jnp.ones((1, 64))
+    img, off = gen.apply(params, (offset, w), noise=noise, method="invert")
+    assert img.shape == (1, 3, 64, 64)
+    assert float(jnp.max(img)) <= 1.0 and float(jnp.min(img)) >= -1.0
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(offset))
+
+
+def test_discriminator_shapes_and_ftr_num(rng):
+    disc = Discriminator(size=64, channel_multiplier=1)
+    x = jnp.asarray(rng.standard_normal((4, 3, 64, 64)).astype(np.float32))
+    params = disc.init(jax.random.PRNGKey(0), x)
+    out, feats = disc.apply(params, x)
+    assert out.shape == (4, 1)
+    assert len(feats) == 5  # log2(64)-2 resblocks + final_conv
+    _, feats4 = disc.apply(params, x, ftr_num=4)
+    assert len(feats4) == 4
+    for a, b in zip(feats4, feats[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_mean_latent(rng):
+    gen = Generator(size=64, style_dim=64, n_mlp=4)
+    noise = _zero_noise(gen)
+    w = jnp.zeros((1, 64))
+    params = gen.init(jax.random.PRNGKey(0), [w], noise, input_is_w=False)
+    m = gen.apply(params, jax.random.PRNGKey(7), 256, method="mean_latent")
+    assert m.shape == (1, 64)
+    assert np.isfinite(np.asarray(m)).all()
