@@ -1,0 +1,104 @@
+"""Trainer integration tests: the minimal end-to-end slice (prior pretrain +
+one stage of the 3 steps) on synthetic data, checkpoint save/load roundtrip,
+and the generalizing variant."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gan2shape_tpu.core.trainer import (
+    Trainer, GeneralizingTrainer, default_optimizer, STEP_SUBSETS,
+)
+from gan2shape_tpu.core.checkpoint import CheckpointManager
+
+CFG = {
+    "image_size": 128, "gan_size": 64, "z_dim": 512,
+    "channel_multiplier": 1, "category": "face",
+    "n_epochs_prior": 3, "n_proj_samples": 2, "learning_rate": 1e-4,
+    "prior_name": "box",
+    "rot_center_depth": 1.0, "fov": 10,
+}
+
+
+class SyntheticData:
+    def __init__(self, n=1, image_size=128, z_dim=512, seed=0):
+        rng = np.random.default_rng(seed)
+        self.images = rng.uniform(-1, 1, (n, 3, image_size, image_size)
+                                  ).astype(np.float32)
+        self.latents = rng.standard_normal((n, z_dim)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return self.images[i], self.latents[i], i
+
+
+def test_default_optimizer_matches_torch_adam(rng):
+    """One Adam+weight-decay step against torch.optim.Adam."""
+    import torch
+    p0 = rng.standard_normal(16).astype(np.float32)
+    g0 = rng.standard_normal(16).astype(np.float32)
+
+    tp = torch.from_numpy(p0.copy()).requires_grad_(True)
+    opt = torch.optim.Adam([tp], lr=1e-2, betas=(0.9, 0.999),
+                           weight_decay=5e-4)
+    tp.grad = torch.from_numpy(g0.copy())
+    opt.step()
+
+    jopt = default_optimizer(lr=1e-2, weight_decay=5e-4)
+    state = jopt.init(jnp.asarray(p0))
+    updates, state = jopt.update(jnp.asarray(g0), state, jnp.asarray(p0))
+    jp = jnp.asarray(p0) + updates
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(), atol=1e-6)
+
+
+def test_trainer_fit_one_stage(tmp_path):
+    cfg = dict(CFG)
+    cfg["our_nets_ckpts"] = {"VLADE_nets": str(tmp_path / "ckpts")}
+    trainer = Trainer(cfg, save_ckpts=True)
+    data = SyntheticData(1)
+    history = trainer.fit(data, stages=[{"step1": 2, "step2": 2, "step3": 2}])
+    assert len(history) == 1
+    for k in ("loss_step1", "loss_step2", "loss_step3"):
+        assert np.isfinite(history[0][k])
+
+    # checkpoint roundtrip: saved params reload bit-exact
+    mgr = CheckpointManager(cfg["our_nets_ckpts"]["VLADE_nets"])
+    template = trainer.model.init_params(jax.random.PRNGKey(9))
+    loaded = mgr.load_latest_general("face", template)
+    for net in STEP_SUBSETS[3]:
+        want = jax.tree_util.tree_leaves(trainer.params[net])
+        got = jax.tree_util.tree_leaves(loaded[net])
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # evaluation path runs on the trained params
+    recon_im, recon_depth = trainer.evaluate(jnp.asarray(data.images[:1]))
+    assert recon_im.shape == (1, 3, 128, 128)
+
+
+def test_prior_pretraining_reduces_loss():
+    cfg = dict(CFG)
+    cfg["n_epochs_prior"] = 40
+    trainer = Trainer(cfg)
+    data = SyntheticData(1)
+    image = jnp.asarray(data.images[:1])
+    losses = trainer.pretrain_on_prior(image, 0)
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_generalizing_trainer_two_images(tmp_path):
+    cfg = dict(CFG)
+    cfg["n_epochs_generalized"] = 1
+    cfg["n_epochs_prior"] = 2
+    cfg["our_nets_ckpts"] = {"VLADE_nets": str(tmp_path / "ckpts")}
+    trainer = GeneralizingTrainer(cfg)
+    data = SyntheticData(2)
+    history = trainer.fit(data, stages=[{"step1": 1, "step2": 1, "step3": 1}],
+                          batch_size=2)
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss_step1"])
