@@ -12,6 +12,7 @@ Deviations from the reference (deliberate):
     crashed (networks.py:231); here it produces the full `cout` channels.
 """
 
+import math
 from typing import Optional
 
 import jax.numpy as jnp
@@ -32,7 +33,11 @@ def lrelu(x, slope=0.2):
 
 class Encoder(nn.Module):
     """Conv encoder for ViewpointNet/LightingNet (reference networks.py:23-50,
-    Table 5): 5x stride-2 conv4 + ReLU, valid conv4, 1x1 conv, tanh."""
+    Table 5): stride-2 conv4 + ReLU stages down to 4x4, valid conv4,
+    1x1 conv, tanh.  At the reference's working size (128) this is exactly
+    its 5-stage stack; smaller sizes drop trailing stages (the reference
+    hardcodes 5 and cannot run below 128 — a generalization, used by the
+    cheap multi-chip dryruns)."""
     cin: int
     cout: int
     size: int
@@ -40,14 +45,15 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         nf = max(4096 // self.size, 16)
-        widths = [nf, nf * 2, nf * 4, nf * 8, nf * 16]
+        n_down = max(int(math.log2(self.size)) - 2, 1)
+        widths = [min(nf * 2 ** i, nf * 16) for i in range(n_down)]
         c_in = self.cin
         for i, c_out in enumerate(widths):
             x = Conv2d(c_in, c_out, 4, stride=2, padding=1, use_bias=False,
                        name=f"conv{i}")(x)
             x = relu(x)
             c_in = c_out
-        x = Conv2d(nf * 16, nf * 16, 4, stride=1, padding=0, use_bias=False,
+        x = Conv2d(c_in, nf * 16, 4, stride=1, padding=0, use_bias=False,
                    name="conv5")(x)
         x = relu(x)
         x = Conv2d(nf * 16, self.cout, 1, stride=1, padding=0, use_bias=False,

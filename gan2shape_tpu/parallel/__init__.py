@@ -1,0 +1,4 @@
+from gan2shape_tpu.parallel.mesh import make_mesh, instance_sharding
+from gan2shape_tpu.parallel.sharding import InstanceParallelTrainer
+
+__all__ = ["make_mesh", "instance_sharding", "InstanceParallelTrainer"]

@@ -15,7 +15,7 @@ from gan2shape_tpu.core.trainer import (
 from gan2shape_tpu.core.checkpoint import CheckpointManager
 
 CFG = {
-    "image_size": 128, "gan_size": 64, "z_dim": 512,
+    "image_size": 64, "gan_size": 64, "z_dim": 512,
     "channel_multiplier": 1, "category": "face",
     "n_epochs_prior": 3, "n_proj_samples": 2, "learning_rate": 1e-4,
     "prior_name": "box",
@@ -24,7 +24,7 @@ CFG = {
 
 
 class SyntheticData:
-    def __init__(self, n=1, image_size=128, z_dim=512, seed=0):
+    def __init__(self, n=1, image_size=64, z_dim=512, seed=0):
         rng = np.random.default_rng(seed)
         self.images = rng.uniform(-1, 1, (n, 3, image_size, image_size)
                                   ).astype(np.float32)
@@ -56,6 +56,7 @@ def test_default_optimizer_matches_torch_adam(rng):
     np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_fit_one_stage(tmp_path):
     cfg = dict(CFG)
     cfg["our_nets_ckpts"] = {"VLADE_nets": str(tmp_path / "ckpts")}
@@ -78,7 +79,7 @@ def test_trainer_fit_one_stage(tmp_path):
 
     # evaluation path runs on the trained params
     recon_im, recon_depth = trainer.evaluate(jnp.asarray(data.images[:1]))
-    assert recon_im.shape == (1, 3, 128, 128)
+    assert recon_im.shape == (1, 3, 64, 64)
 
 
 def test_prior_pretraining_reduces_loss():
@@ -91,6 +92,7 @@ def test_prior_pretraining_reduces_loss():
     assert float(losses[-1]) < float(losses[0])
 
 
+@pytest.mark.slow
 def test_generalizing_trainer_two_images(tmp_path):
     cfg = dict(CFG)
     cfg["n_epochs_generalized"] = 1
