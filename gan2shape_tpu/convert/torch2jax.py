@@ -214,6 +214,97 @@ def convert_lpips(vgg_sd, heads_sd):
     return {"params": p}
 
 
+# ---------------- segmentation nets ----------------
+
+def _bn(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"]),
+            "running_mean": _np(sd[f"{prefix}.running_mean"]),
+            "running_var": _np(sd[f"{prefix}.running_var"])}
+
+
+def _conv(sd, prefix, bias=False):
+    out = {"weight": _np(sd[f"{prefix}.weight"])}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _strip_module(sd):
+    return {(k[7:] if k.startswith("module.") else k): v
+            for k, v in sd.items()}
+
+
+def convert_pspnet(sd, layers=(3, 4, 6, 3)):
+    """PSPNet-50 VOC checkpoint (reference model.py:487-491; torch naming
+    from networks.py:273-327) -> flax params."""
+    sd = _strip_module(sd)
+    bk = {"conv1": _conv(sd, "layer0.0"), "bn1": _bn(sd, "layer0.1"),
+          "conv2": _conv(sd, "layer0.3"), "bn2": _bn(sd, "layer0.4"),
+          "conv3": _conv(sd, "layer0.6"), "bn3": _bn(sd, "layer0.7")}
+    for L, n_blocks in enumerate(layers, start=1):
+        for i in range(n_blocks):
+            t = f"layer{L}.{i}"
+            blk = {}
+            for j in (1, 2, 3):
+                blk[f"conv{j}"] = _conv(sd, f"{t}.conv{j}")
+                blk[f"bn{j}"] = _bn(sd, f"{t}.bn{j}")
+            if f"{t}.downsample.0.weight" in sd:
+                blk["downsample_0"] = _conv(sd, f"{t}.downsample.0")
+                blk["downsample_1"] = _bn(sd, f"{t}.downsample.1")
+            bk[f"layer{L}_{i}"] = blk
+    p = {"backbone": bk}
+    for i in range(4):
+        p[f"ppm_{i}_conv"] = _conv(sd, f"ppm.features.{i}.1")
+        p[f"ppm_{i}_bn"] = _bn(sd, f"ppm.features.{i}.2")
+    p["cls_conv"] = _conv(sd, "cls.0")
+    p["cls_bn"] = _bn(sd, "cls.1")
+    p["cls_head"] = _conv(sd, "cls.4", bias=True)
+    return {"params": p}
+
+
+def convert_bisenet(sd):
+    """BiSeNet face parser (reference model.py:484-485; torch naming from
+    networks.py:357-586) -> flax params."""
+    sd = _strip_module(sd)
+
+    def cbr(prefix):
+        return {"conv": _conv(sd, f"{prefix}.conv"),
+                "bn": _bn(sd, f"{prefix}.bn")}
+
+    def arm(prefix):
+        return {"conv": cbr(f"{prefix}.conv"),
+                "conv_atten": _conv(sd, f"{prefix}.conv_atten"),
+                "bn_atten": _bn(sd, f"{prefix}.bn_atten")}
+
+    rn = {"conv1": _conv(sd, "cp.resnet.conv1"),
+          "bn1": _bn(sd, "cp.resnet.bn1")}
+    for L in range(1, 5):
+        for i in range(2):
+            t = f"cp.resnet.layer{L}.{i}"
+            blk = {"conv1": _conv(sd, f"{t}.conv1"),
+                   "bn1": _bn(sd, f"{t}.bn1"),
+                   "conv2": _conv(sd, f"{t}.conv2"),
+                   "bn2": _bn(sd, f"{t}.bn2")}
+            if f"{t}.downsample.0.weight" in sd:
+                blk["downsample_0"] = _conv(sd, f"{t}.downsample.0")
+                blk["downsample_1"] = _bn(sd, f"{t}.downsample.1")
+            rn[f"layer{L}_{i}"] = blk
+
+    p = {"cp_resnet": rn,
+         "cp_conv_avg": cbr("cp.conv_avg"),
+         "cp_arm32": arm("cp.arm32"),
+         "cp_arm16": arm("cp.arm16"),
+         "cp_conv_head32": cbr("cp.conv_head32"),
+         "cp_conv_head16": cbr("cp.conv_head16"),
+         "ffm": {"convblk": cbr("ffm.convblk"),
+                 "conv1": _conv(sd, "ffm.conv1"),
+                 "conv2": _conv(sd, "ffm.conv2")},
+         "conv_out": {"conv": cbr("conv_out.conv"),
+                      "conv_out": _conv(sd, "conv_out.conv_out")}}
+    return {"params": p}
+
+
 # ---------------- view/light MVN ----------------
 
 def convert_mvn(path):

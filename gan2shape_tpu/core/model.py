@@ -114,6 +114,8 @@ class GAN2Shape:
             "rand_light", [-1, 1, -0.2, 0.8, -0.1, 0.6, -0.6])
         self.truncation = config.get("truncation", 1)
         self.F1_d = config.get("F1_d", 2)
+        # discriminator feature-matching taps (reference losses.py:7 default 4)
+        self.disc_ftr_num = config.get("disc_ftr_num", 4)
 
         # module definitions
         self.generator = Generator(size=self.gan_size, style_dim=self.z_dim,
@@ -373,7 +375,8 @@ class GAN2Shape:
         disc_apply = lambda x, n: self.discriminator.apply(
             frozen["discriminator"], x, ftr_num=n)
         loss_rec = discriminator_feature_loss(
-            disc_apply, projected_image, pseudo_im, mask=mask, ftr_num=4)
+            disc_apply, projected_image, pseudo_im, mask=mask,
+            ftr_num=self.disc_ftr_num)
         loss_latent_norm = jnp.mean(offset ** 2)
         loss = loss_l1 + loss_rec + self.lam_regular * loss_latent_norm
 

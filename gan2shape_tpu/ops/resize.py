@@ -34,6 +34,36 @@ def _bilinear_matrix(in_size: int, out_size: int):
 
 
 @lru_cache(maxsize=None)
+def _bilinear_ac_matrix(in_size: int, out_size: int):
+    """align_corners=True: src = dst * (in-1)/(out-1)."""
+    if out_size == 1:
+        m = np.zeros((1, in_size), np.float32)
+        m[0, 0] = 1.0
+        return m
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    x0 = np.floor(src)
+    frac = src - x0
+    i0 = np.clip(x0, 0, in_size - 1).astype(np.int64)
+    i1 = np.clip(x0 + 1, 0, in_size - 1).astype(np.int64)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), (1.0 - frac).astype(np.float32))
+    np.add.at(m, (rows, i1), frac.astype(np.float32))
+    return m
+
+
+def resize_bilinear_align_corners(image, size):
+    """Bilinear resize with align_corners=True (the segmentation nets'
+    convention — reference networks.py:269,344,565)."""
+    h, w = image.shape[-2], image.shape[-1]
+    nh, nw = int(size[0]), int(size[1])
+    if nh == h and nw == w:
+        return image
+    return _apply_separable(image, _bilinear_ac_matrix(h, nh),
+                            _bilinear_ac_matrix(w, nw))
+
+
+@lru_cache(maxsize=None)
 def _area_matrix(in_size: int, out_size: int):
     m = np.zeros((out_size, in_size), dtype=np.float32)
     for i in range(out_size):
