@@ -27,6 +27,7 @@ import optax
 from gan2shape_tpu.core.model import GAN2Shape
 from gan2shape_tpu.core.priors import PriorGenerator
 from gan2shape_tpu.core.checkpoint import CheckpointManager
+from gan2shape_tpu.utils.cache import enable_compilation_cache
 
 log = logging.getLogger(__name__)
 
@@ -60,6 +61,7 @@ class Trainer:
     def __init__(self, model_config, debug=False, plot_intermediate=False,
                  log_wandb=False, save_ckpts=False, load_dict=None,
                  frozen=None, seed=0):
+        enable_compilation_cache()
         self.config = dict(model_config)
         self.model = GAN2Shape(model_config)
         self.image_size = model_config.get("image_size", 128)

@@ -40,6 +40,8 @@ class InstanceParallelTrainer:
 
     def __init__(self, model_config, n_instances, mesh=None, frozen=None,
                  seed=0):
+        from gan2shape_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.model = GAN2Shape(model_config)
         self.n = n_instances
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -51,10 +53,9 @@ class InstanceParallelTrainer:
         kp, kf, self._key = jax.random.split(key, 3)
 
         # per-instance parameters: independent inits stacked on axis 0
+        # (one traced vmap instead of n eager inits)
         keys = jax.random.split(kp, n_instances)
-        params_list = [self.model.init_params(k) for k in keys]
-        self.params = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *params_list)
+        self.params = jax.jit(jax.vmap(self.model.init_params))(keys)
         self.frozen = frozen if frozen is not None \
             else self.model.init_frozen(kf)
 
@@ -91,7 +92,8 @@ class InstanceParallelTrainer:
                 return model.forward_step1({**rest, **sub}, self.frozen,
                                            image)
             coll0 = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype),
+                lambda sd: jax.lax.pcast(jnp.zeros(sd.shape, sd.dtype),
+                                         (axis,), to="varying"),
                 jax.eval_shape(s1_loss, sub)[1])
 
             def s1_body(carry, _):
@@ -113,7 +115,8 @@ class InstanceParallelTrainer:
                                            n_proj_samples=n_proj)
             keys = jax.random.split(k2, n2)
             coll20 = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype),
+                lambda sd: jax.lax.pcast(jnp.zeros(sd.shape, sd.dtype),
+                                         (axis,), to="varying"),
                 jax.eval_shape(s2_loss, sub, keys[0])[1])
 
             def s2_body(carry, k):
@@ -143,15 +146,30 @@ class InstanceParallelTrainer:
             params = {**rest, **sub}
             return params, (st1, st2, st3), (l1[-1], l2[-1], l3[-1])
 
+        from jax.sharding import PartitionSpec as P
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+
         @partial(jax.jit, static_argnames=("n1", "n2", "n3"),
                  donate_argnums=(0, 3))
         def run_stage(params, images, latents, opt_states, keys,
                       n1, n2, n3):
-            return jax.vmap(
-                lambda p, im, la, k, os: stage_one_instance(
-                    p, im, la, k, os, n1, n2, n3),
-                in_axes=(0, 0, 0, 0, 0))(params, images, latents, keys,
-                                         opt_states)
+            # shard_map (not jit sharding propagation): the per-instance
+            # vmapped convs lower to grouped convolutions that XLA's SPMD
+            # partitioner cannot split along the group axis; explicit
+            # per-device blocks with a local vmap sidestep that — the work is
+            # embarrassingly parallel, zero collectives.
+            def local(params, images, latents, opt_states, keys):
+                return jax.vmap(
+                    lambda p, im, la, k, os: stage_one_instance(
+                        p, im, la, k, os, n1, n2, n3),
+                    in_axes=(0, 0, 0, 0, 0))(params, images, latents, keys,
+                                             opt_states)
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis)))(
+                params, images, latents, opt_states, keys)
 
         @partial(jax.jit, static_argnames=("n_iters",), donate_argnums=(0,))
         def run_prior(params_depth, images, priors, n_iters):
@@ -169,7 +187,13 @@ class InstanceParallelTrainer:
                 (pd, _), losses = jax.lax.scan(body, (pd, opt), None,
                                                length=n_iters)
                 return pd, losses
-            return jax.vmap(one)(params_depth, images, priors)
+
+            def local(params_depth, images, priors):
+                return jax.vmap(one)(params_depth, images, priors)
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)))(params_depth, images, priors)
 
         self._run_stage = run_stage
         self._run_prior = run_prior
@@ -213,8 +237,15 @@ class InstanceParallelTrainer:
         return history
 
     def evaluate(self, images):
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh.axis_names[0]
         images = jax.device_put(jnp.asarray(images), self._inst)
-        return jax.jit(jax.vmap(
-            lambda p, im: self.model.evaluate_results(p, self.frozen,
-                                                      im[None])))(
-            self.params, images)
+
+        def local(params, images):
+            return jax.vmap(
+                lambda p, im: self.model.evaluate_results(p, self.frozen,
+                                                          im[None]))(
+                params, images)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis))))(self.params, images)
