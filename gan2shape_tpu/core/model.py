@@ -281,6 +281,61 @@ class GAN2Shape:
         collected = (normal, light_a, light_b, albedo, depth)
         return loss, collected
 
+    # ------- step 1 split into loop-invariant + per-iteration parts -------
+    # Within a step-1 block only the albedo net trains (reference
+    # trainer.py:40-41), so the depth/view/lighting forwards, normals, the
+    # rasterized warp, the sampling grid, the mask AND the smoothness loss
+    # are constant across all its iterations.  The reference recomputes them
+    # every iteration because its Python loop dispatches whole forwards;
+    # here the trainer hoists them out of the scan.  Mathematically
+    # identical to forward_step1(step1=True).
+
+    def step1_invariants(self, params, frozen, images):
+        depth_raw = jax.lax.stop_gradient(
+            self.depth_net.apply(params["depth"], images))
+        depth = self.get_clamped_depth(depth_raw[:, 0])
+
+        view = jax.lax.stop_gradient(
+            self.viewpoint_net.apply(params["viewpoint"], images))
+        view = view + self.view_light_sampler.view_mean[None]
+        rot, trans = get_transform_matrices(self.get_view_transformation(view))
+
+        lighting = jax.lax.stop_gradient(
+            self.lighting_net.apply(params["lighting"], images))
+        lighting = lighting + self.view_light_sampler.light_mean[None]
+        light_a, light_b, light_d = self.get_lighting_directions(lighting)
+
+        normal = self.renderer.get_normal_from_depth(depth)
+        diffuse = jnp.clip(
+            jnp.sum(normal * light_d.reshape(-1, 1, 1, 3), axis=3),
+            0, None)[:, None]
+        shading = (light_a.reshape(-1, 1, 1, 1)
+                   + light_b.reshape(-1, 1, 1, 1) * diffuse)
+
+        recon_depth = self.renderer.warp_canon_depth(depth, rot, trans)
+        grid = self.renderer.get_inv_warped_2d_grid(recon_depth, rot, trans)
+        margin = (self.max_depth - self.min_depth) / 2
+        recon_mask = (recon_depth < self.max_depth + margin
+                      ).astype(images.dtype)[:, None]
+        loss_smooth = smooth_loss(depth) + smooth_loss(diffuse)
+        return {"depth": depth, "normal": normal, "light_a": light_a,
+                "light_b": light_b, "shading": shading, "grid": grid,
+                "recon_mask": recon_mask, "loss_smooth": loss_smooth}
+
+    def step1_iter(self, params, frozen, images, inv):
+        """Per-iteration part: albedo forward, texture, warp-sample, losses.
+        Returns (loss, albedo)."""
+        albedo = self.albedo_net.apply(params["albedo"], images)
+        texture = (albedo / 2 + 0.5) * inv["shading"] * 2 - 1
+        recon_im = jnp.clip(grid_sample(texture, inv["grid"]), -1.0, 1.0)
+        mask = inv["recon_mask"]
+        loss_l1 = photometric_loss(recon_im, images, mask=mask)
+        loss_perc = jnp.mean(self.lpips.apply(
+            frozen["lpips"], recon_im * mask, images * mask))
+        loss = (loss_l1 + self.lam_perc * loss_perc
+                + self.lam_smooth * inv["loss_smooth"])
+        return loss, albedo
+
     # ---------------- pseudo samples (reference model.py:291-328) ----------------
 
     def sample_pseudo_imgs(self, key, n_images, normal, light_a, light_b,
@@ -333,8 +388,28 @@ class GAN2Shape:
                                       method="style_forward") - center_w
         return offset, latent + offset
 
+    def step2_invariants(self, frozen, latent):
+        """Constant across a step-2 block: the GAN re-synthesis of the
+        dataset latent and the mapping-network anchors (reference
+        model.py:193-203) — hoisted out of the iteration scan."""
+        gen_p = frozen["generator"]
+        mean_latent = frozen.get("mean_latent")
+        gan_im, _ = self.generator.apply(
+            gen_p, [latent], frozen["noise"], input_is_w=True,
+            truncation=self.truncation, truncation_latent=mean_latent)
+        gan_im = jnp.clip(gan_im, -1.0, 1.0)
+        gan_im = resize(gan_im, (self.image_size, self.image_size))
+
+        zeros = jnp.zeros((1, self.z_dim))
+        depth_stop = self.generator.n_mlp - self.F1_d
+        center_w = self.generator.apply(gen_p, zeros, method="style_forward")
+        center_h = self.generator.apply(gen_p, zeros, depth=depth_stop,
+                                        method="style_forward")
+        return jax.lax.stop_gradient(
+            {"gan_im": gan_im, "center_w": center_w, "center_h": center_h})
+
     def forward_step2(self, params, frozen, image, latent, collected, key,
-                      n_proj_samples=8):
+                      n_proj_samples=8, invariants=None):
         collected = jax.lax.stop_gradient(collected)
         normal, light_a, light_b, albedo, depth = collected
 
@@ -345,19 +420,11 @@ class GAN2Shape:
 
         gen_p = frozen["generator"]
         mean_latent = frozen.get("mean_latent")
-        gan_im, _ = self.generator.apply(
-            gen_p, [latent], frozen["noise"], input_is_w=True,
-            truncation=self.truncation, truncation_latent=mean_latent)
-        gan_im = jnp.clip(gan_im, -1.0, 1.0)
-        gan_im = resize(gan_im, (self.image_size, self.image_size))
-        gan_im = jax.lax.stop_gradient(gan_im)
-
-        zeros = jnp.zeros((1, self.z_dim))
-        depth_stop = self.generator.n_mlp - self.F1_d
-        center_w = jax.lax.stop_gradient(self.generator.apply(
-            gen_p, zeros, method="style_forward"))
-        center_h = jax.lax.stop_gradient(self.generator.apply(
-            gen_p, zeros, depth=depth_stop, method="style_forward"))
+        if invariants is None:
+            invariants = self.step2_invariants(frozen, latent)
+        gan_im = invariants["gan_im"]
+        center_w = invariants["center_w"]
+        center_h = invariants["center_h"]
 
         offset, latent_proj = self.latent_projection(
             params, frozen, pseudo_im, gan_im, latent, center_w, center_h)

@@ -128,23 +128,26 @@ class Trainer:
         def run_step1(params, opt_state, frozen, images, n_iters):
             sub, rest = _split(params, STEP_SUBSETS[1])
 
-            def loss_fn(sub):
-                return model.forward_step1({**rest, **sub}, frozen, images)
+            # hoist the loop-invariant subgraph (depth/view/light nets,
+            # rasterization, warp grid, smoothness) out of the scan —
+            # only the albedo branch runs per iteration
+            inv = model.step1_invariants(params, frozen, images)
 
-            # collected lives in the scan carry (stacking it across
-            # iterations would hold n_iters copies in HBM)
-            coll_shapes = jax.eval_shape(loss_fn, sub)[1]
-            coll0 = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype), coll_shapes)
+            def loss_fn(sub):
+                return model.step1_iter({**rest, **sub}, frozen, images, inv)
+
+            albedo0 = jnp.zeros(jax.eval_shape(loss_fn, sub)[1].shape)
 
             def body(carry, _):
                 sub, s, _ = carry
-                (loss, collected), grads = jax.value_and_grad(
+                (loss, albedo), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(sub)
                 updates, s = opt1.update(grads, s, sub)
-                return (optax.apply_updates(sub, updates), s, collected), loss
-            (sub, s, collected), losses = jax.lax.scan(
-                body, (sub, opt_state, coll0), None, length=n_iters)
+                return (optax.apply_updates(sub, updates), s, albedo), loss
+            (sub, s, albedo), losses = jax.lax.scan(
+                body, (sub, opt_state, albedo0), None, length=n_iters)
+            collected = (inv["normal"], inv["light_a"], inv["light_b"],
+                         albedo, inv["depth"])
             return {**rest, **sub}, s, collected, losses
 
         @partial(jax.jit,
@@ -154,10 +157,13 @@ class Trainer:
                       key, n_iters, n_proj):
             sub, rest = _split(params, STEP_SUBSETS[2])
 
+            # GAN re-synthesis + mapping anchors are constant over the block
+            inv2 = model.step2_invariants(frozen, latent)
+
             def loss_fn(sub, k):
                 return model.forward_step2(
                     {**rest, **sub}, frozen, image, latent, collected,
-                    k, n_proj_samples=n_proj)
+                    k, n_proj_samples=n_proj, invariants=inv2)
 
             keys = jax.random.split(key, n_iters)
             coll_shapes = jax.eval_shape(loss_fn, sub, keys[0])[1]

@@ -114,19 +114,473 @@ def _winner_pass(xs, ys, zs, faces, h, w, window, near, far):
     return winner.reshape(b, h, w)
 
 
-def rasterize_depth(xs, ys, zs, faces, h, w, window=5, near=0.3, far=1.3):
+@partial(jax.jit, static_argnames=("h", "w", "search", "fp_iters"))
+def _winner_pass_invwarp(xs, ys, zs, h, w, search=1, fp_iters=8):
+    """Gather-based winner search for GRID meshes (TPU fast path).
+
+    TPU scatters serialize (the scatter-min pass costs ~10ms/image); this
+    formulation has none: the screen->canonical correspondence is found by
+    fixed-point inversion of the vertex displacement field (c <- p - D(c),
+    bilinear gathers only), then the pixel is tested EXACTLY against the
+    2*(2*search+1)^2 triangles around the estimated source cell, taking the
+    nearest hit.  Exact wherever the warp's folds are locally bounded (the
+    two depth sheets' source cells fall inside the search neighborhood) —
+    true for this method's rigid warps of smooth, range-clamped depth maps.
+    The scatter path remains available for unbounded warps (visualization
+    sweeps) via Renderer(raster_mode='scatter').
+
+    Returns winner face ids (B, H, W), -1 where uncovered; face id encodes
+    (cell, upper/lower) in the same order as grid_faces.
+    """
+    b = xs.shape[0]
+    fx = xs.reshape(b, h, w)
+    fy = ys.reshape(b, h, w)
+    fz = zs.reshape(b, h, w)
+
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=xs.dtype),
+                          jnp.arange(w, dtype=xs.dtype), indexing="ij")
+    # displacement field on the canonical grid
+    dx_f = fx - gx[None]
+    dy_f = fy - gy[None]
+
+    px = jnp.broadcast_to(gx[None], (b, h, w))
+    py = jnp.broadcast_to(gy[None], (b, h, w))
+
+    def bilerp(field, cy, cx):
+        x0 = jnp.clip(jnp.floor(cx), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(cy), 0, h - 2)
+        tx = jnp.clip(cx - x0, 0.0, 1.0)
+        ty = jnp.clip(cy - y0, 0.0, 1.0)
+        ix = x0.astype(jnp.int32)
+        iy = y0.astype(jnp.int32)
+        idx = iy * w + ix
+        f = field.reshape(b, h * w)
+
+        def take(off):
+            return jnp.take_along_axis(f, (idx + off).reshape(b, -1),
+                                       axis=1).reshape(b, h, w)
+        v00 = take(0)
+        v01 = take(1)
+        v10 = take(w)
+        v11 = take(w + 1)
+        return ((1 - ty) * ((1 - tx) * v00 + tx * v01)
+                + ty * ((1 - tx) * v10 + tx * v11))
+
+    # robust initialization: nearest SCREEN vertex on a stride-4 subgrid
+    # (brute force as one big distance reduction — MXU/VPU work, no scatter).
+    # Picard iteration alone diverges where |f * dz/dx * sin(theta)| > 1
+    # (steep slopes under rotation); the coarse init keeps the subsequent
+    # damped refinement inside the right basin.
+    stride = 4
+    sub_y = fy[:, ::stride, ::stride].reshape(b, -1)   # (B, M)
+    sub_x = fx[:, ::stride, ::stride].reshape(b, -1)
+    gy_s = gy[::stride, ::stride].reshape(-1)          # canonical coords
+    gx_s = gx[::stride, ::stride].reshape(-1)
+    # argmin_m (sub_x - px)^2 + (sub_y - py)^2 per pixel, chunked over the
+    # candidate axis to bound transient memory at (B, P, CH)
+    pxf = px.reshape(b, h * w, 1)
+    pyf = py.reshape(b, h * w, 1)
+    m_cands = sub_x.shape[1]
+    ch = min(64, m_cands)
+    n_chunks = (m_cands + ch - 1) // ch
+    pad = n_chunks * ch - m_cands
+    sub_x_p = jnp.pad(sub_x, ((0, 0), (0, pad)), constant_values=1e9)
+    sub_y_p = jnp.pad(sub_y, ((0, 0), (0, pad)), constant_values=1e9)
+
+    def nn_body(k, carry):
+        best_d2, best_idx = carry
+        sx = jax.lax.dynamic_slice_in_dim(sub_x_p, k * ch, ch, 1)
+        sy = jax.lax.dynamic_slice_in_dim(sub_y_p, k * ch, ch, 1)
+        d2 = ((sx[:, None, :] - pxf) ** 2 + (sy[:, None, :] - pyf) ** 2)
+        m = jnp.min(d2, 2)
+        mi = jnp.argmin(d2, 2).astype(jnp.int32) + k * ch
+        upd = m < best_d2
+        return (jnp.where(upd, m, best_d2), jnp.where(upd, mi, best_idx))
+
+    best_d2 = jnp.full((b, h * w), jnp.inf, xs.dtype)
+    best_nn = jnp.zeros((b, h * w), jnp.int32)
+    best_d2, nearest = jax.lax.fori_loop(0, n_chunks, nn_body,
+                                         (best_d2, best_nn))
+    cy = gy_s[nearest].reshape(b, h, w)
+    cx = gx_s[nearest].reshape(b, h, w)
+
+    def fp_body(_, c):
+        cy, cx = c
+        alpha = 0.7  # damping for near-unit-contraction regions
+        ny = py - bilerp(dy_f, cy, cx)
+        nx = px - bilerp(dx_f, cy, cx)
+        cy = cy + alpha * (ny - cy)
+        cx = cx + alpha * (nx - cx)
+        return (jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1))
+
+    cy, cx = jax.lax.fori_loop(0, fp_iters, fp_body, (cy, cx))
+
+    # exact triangle tests in a neighborhood of the estimated source cell;
+    # taking the nearest hit resolves local occlusions like a z-buffer
+    i0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, h - 2)
+    j0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, w - 2)
+
+    fxf = fx.reshape(b, h * w)
+    fyf = fy.reshape(b, h * w)
+    fzf = fz.reshape(b, h * w)
+
+    def corner(ii, jj):
+        idx = (ii * w + jj).reshape(b, -1)
+        return (jnp.take_along_axis(fxf, idx, 1).reshape(b, h, w),
+                jnp.take_along_axis(fyf, idx, 1).reshape(b, h, w),
+                jnp.take_along_axis(fzf, idx, 1).reshape(b, h, w))
+
+    best_z = jnp.full((b, h, w), jnp.inf, xs.dtype)
+    best_id = jnp.full((b, h, w), -1, jnp.int32)
+    n_cells_w = w - 1
+    eps = -1e-5
+
+    def test_cell(ci, cj, best_z, best_id):
+        # cell corners: tl, tr, bl, br
+        x_tl, y_tl, z_tl = corner(ci, cj)
+        x_tr, y_tr, z_tr = corner(ci, cj + 1)
+        x_bl, y_bl, z_bl = corner(ci + 1, cj)
+        x_br, y_br, z_br = corner(ci + 1, cj + 1)
+        cell = ci * n_cells_w + cj
+        for vx, vy, vz, fid in (
+            ((x_tl, x_bl, x_tr), (y_tl, y_bl, y_tr),
+             (z_tl, z_bl, z_tr), cell),
+            ((x_tr, x_bl, x_br), (y_tr, y_bl, y_br),
+             (z_tr, z_bl, z_br), cell + (h - 1) * n_cells_w),
+        ):
+            l0, l1, l2, degen = _barycentric(
+                px, py, vx[0], vy[0], vx[1], vy[1], vx[2], vy[2])
+            inv_z = l0 / vz[0] + l1 / vz[1] + l2 / vz[2]
+            z = 1.0 / jnp.maximum(inv_z, 1e-12)
+            inside = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
+                      & ~degen & (z > 0))
+            better = inside & (z < best_z)
+            best_z = jnp.where(better, z, best_z)
+            best_id = jnp.where(better, fid, best_id)
+        return best_z, best_id
+
+    for di in range(-search, search + 1):
+        for dj in range(-search, search + 1):
+            ci = jnp.clip(i0 + di, 0, h - 2)
+            cj = jnp.clip(j0 + dj, 0, w - 2)
+            best_z, best_id = test_cell(ci, cj, best_z, best_id)
+    return best_id
+
+
+def _build_winner_buffers(vx, vy, vz, h, w, window, near, far):
+    """Scatter each face's compact payload to its half-pixel-resolution
+    screen bbox-start slot.
+
+    Payload = 8 int16 channels: 6 vertex coordinates in 1/256-px fixed point
+    RELATIVE to the slot's integer pixel (range +-127 px), a quantized mean
+    depth (winner ordering only — the exact depth is re-interpolated
+    differentiably afterwards), and the face's cell id (-1 marks empty).
+    Relative coordinates make every barycentric term translation-invariant,
+    and int16 keeps the buffer (the dominant HBM traffic of the rasterizer)
+    2.75x smaller than raw f32 payloads.
+
+    Half-pixel slots: integer-resolution starts collide from f32 jitter at
+    integer boundaries and mild compression; at half resolution a same-parity
+    collision requires compression below 0.5 px/cell — a true depth fold
+    (kept arbitrarily, equivalent to a z-fight).  Upper/lower triangles get
+    separate buffers.  Out-of-viewport faces go to UNIQUE dump slots —
+    clamping them onto shared edge slots creates massive duplicate scatter
+    indices, which hits a serialized XLA scatter path (0.1 ms -> 100+ ms).
+
+    Returns two (B, 2, 2, 8, HP, WP_pad) int16 buffers (y-phase, x-phase,
+    channel, padded row/col; WP_pad is a 128 multiple for Mosaic DMA)."""
+    b = vx.shape[0]
+    pad = window + 1
+    hp, wp = h + 2 * pad, w + 2 * pad
+    wp_s = -(-wp // 128) * 128
+    dtype = vx.dtype
+
+    def corners(v):
+        return (v[:, :-1, :-1], v[:, 1:, :-1], v[:, :-1, 1:], v[:, 1:, 1:])
+
+    xtl, xbl, xtr, xbr = corners(vx)
+    ytl, ybl, ytr, ybr = corners(vy)
+    ztl, zbl, ztr, zbr = corners(vz)
+    n_faces = (h - 1) * (w - 1)
+    cell_id = jnp.broadcast_to(
+        jnp.arange(n_faces, dtype=jnp.int32).reshape(1, h - 1, w - 1),
+        (b, h - 1, w - 1))
+
+    bufs = []
+    for tri in (((xtl, ytl, ztl), (xbl, ybl, zbl), (xtr, ytr, ztr)),
+                ((xtr, ytr, ztr), (xbl, ybl, zbl), (xbr, ybr, zbr))):
+        (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = tri
+        bx2 = jnp.floor(2.0 * jnp.minimum(jnp.minimum(x0, x1), x2))
+        by2 = jnp.floor(2.0 * jnp.minimum(jnp.minimum(y0, y1), y2))
+        bx2 = bx2.astype(jnp.int32)
+        by2 = by2.astype(jnp.int32)
+        inb = ((bx2 >= -2 * pad) & (bx2 < 2 * (wp - pad))
+               & (by2 >= -2 * pad) & (by2 < 2 * (hp - pad)))
+        s_x = jnp.clip(bx2 + 2 * pad, 0, 2 * wp - 1)
+        s_y = jnp.clip(by2 + 2 * pad, 0, 2 * hp - 1)
+        qy, sy = s_y // 2, s_y % 2
+        qx, sx = s_x // 2, s_x % 2
+        # the slot's integer-pixel anchor (output pixel px tests the slot at
+        # qx = px + pad - ox, so anchor_x = qx - pad = px - ox)
+        ax = (qx - pad).astype(dtype)
+        ay = (qy - pad).astype(dtype)
+
+        def fx16(v, anchor):
+            q = jnp.clip(jnp.round((v - anchor) * 256.0), -32767, 32767)
+            return q.astype(jnp.int16)
+
+        zmean = (z0 + z1 + z2) * (1.0 / 3.0)
+        zq = jnp.clip(jnp.round((zmean - near) / max(far - near, 1e-6)
+                                * 32000.0), 0, 32767).astype(jnp.int16)
+        channels = (fx16(x0, ax), fx16(y0, ay), fx16(x1, ax), fx16(y1, ay),
+                    fx16(x2, ax), fx16(y2, ay), zq,
+                    jnp.where(inb, cell_id, -1).astype(jnp.int16))
+
+        plane = hp * wp_s
+        start = (((sy * 2 + sx) * 8) * plane + qy * wp_s + qx).reshape(b, -1)
+        base = 4 * 8 * plane
+        dump = base + jnp.arange(n_faces, dtype=jnp.int32)[None]
+        start = jnp.where(inb.reshape(b, -1), start, dump)
+
+        # one fused scatter of all 8 channels (separate scatters each copy
+        # the whole buffer)
+        ch_off = (jnp.arange(8, dtype=jnp.int32) * plane)[None, None, :]
+        idx = (start[:, :, None] + ch_off).reshape(b, -1)
+        vals = jnp.stack([c.reshape(b, -1) for c in channels],
+                         -1).reshape(b, -1)
+        buf = jnp.full((b, base + n_faces), -1, jnp.int16)
+        buf = buf.at[jnp.arange(b)[:, None], idx].set(vals)
+        bufs.append(buf[:, :base].reshape(b, 2, 2, 8, hp, wp_s))
+    return bufs[0], bufs[1]
+
+
+def _winner_tests(buf_at, h, w, window, state):
+    """Run all window^2 x 4-phase candidate tests for one parity buffer.
+    `buf_at(sy, sx, ch, oy, ox)` -> (..., h, w) int16 channel slice; `state`
+    = (best_zq, best_cell, best_par, parity).  All arithmetic happens in the
+    slot-relative 1/256-px fixed point of the payload."""
+    best_zq, best_cell, best_par, parity = state
+    for oy in range(window):
+        for sy in range(2):
+            for ox in range(window):
+                for sx in range(2):
+                    c = [buf_at(sy, sx, ch, oy, ox).astype(jnp.float32)
+                         for ch in range(8)]
+                    dx0, dy0, dx1, dy1, dx2, dy2, zq, cell = c
+                    # p - v2 in 1/256 units: 256*o - dv2
+                    px2 = 256.0 * ox - dx2
+                    py2 = 256.0 * oy - dy2
+                    e10x = dx1 - dx0
+                    e20x = dx2 - dx0
+                    denom = (dy1 - dy2) * (dx0 - dx2) \
+                        + (dx2 - dx1) * (dy0 - dy2)
+                    safe = jnp.where(jnp.abs(denom) > 0.5, denom, 1.0)
+                    l0 = ((dy1 - dy2) * px2 + (dx2 - dx1) * py2) / safe
+                    l1 = ((dy2 - dy0) * px2 + (dx0 - dx2) * py2) / safe
+                    l2 = 1.0 - l0 - l1
+                    eps = -1e-5
+                    inside = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
+                              & (jnp.abs(denom) > 0.5) & (cell >= 0))
+                    better = inside & (zq < best_zq)
+                    best_zq = jnp.where(better, zq, best_zq)
+                    best_cell = jnp.where(better, cell, best_cell)
+                    best_par = jnp.where(better, parity, best_par)
+    return best_zq, best_cell, best_par, parity
+
+
+@partial(jax.jit, static_argnames=("h", "w", "window"))
+def _dense_winner_xla(buf0, buf1, h, w, window):
+    """XLA fallback winner pass over the payload buffers (CPU path).
+    Returns (cell f32, parity f32, covered bool) per pixel."""
+    b = buf0.shape[0]
+    pad = window + 1
+
+    state = (jnp.full((b, h, w), 1e9, jnp.float32),
+             jnp.full((b, h, w), -1.0, jnp.float32),
+             jnp.zeros((b, h, w), jnp.float32), 0.0)
+    for parity, buf in enumerate((buf0, buf1)):
+        def buf_at(sy, sx, ch, oy, ox, buf=buf):
+            return buf[:, sy, sx, ch, pad - oy:pad - oy + h,
+                       pad - ox:pad - ox + w]
+        state = _winner_tests(buf_at, h, w, window,
+                              state[:3] + (float(parity),))
+    best_zq, best_cell, best_par, _ = state
+    return best_cell, best_par, best_cell >= 0
+
+
+def _dense_winner_pallas(buf0, buf1, h, w, window, band=32):
+    """Pallas winner kernel: the payload slab for a row band is DMA'd into
+    VMEM scratch (manual copy — bands need halo overlap that BlockSpec
+    tiling cannot express) and every candidate test runs from there — one
+    manually-fused kernel instead of an unfusable 8*window^2-slice XLA graph
+    or a device loop's per-iteration overhead."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = buf0.shape[0]
+    pad = window + 1
+    hp, wp = buf0.shape[-2], buf0.shape[-1]
+    band = min(band, h)
+    assert h % band == 0 and band % 16 == 0
+    n_bands = h // band
+    # int16 DMA slices must be 16-row aligned: start at the (aligned) band
+    # row and over-fetch one 16-row tile to cover the +pad halo
+    rows = band + 16
+    assert pad <= 16
+
+    def kernel(b0_hbm, b1_hbm, cell_ref, par_ref, s0, s1, sems):
+        bi = pl.program_id(0)
+        bandi = pl.program_id(1)
+        row0 = bandi * band
+        c0 = pltpu.make_async_copy(
+            b0_hbm.at[bi, :, :, :, pl.ds(row0, rows), :], s0, sems.at[0])
+        c1 = pltpu.make_async_copy(
+            b1_hbm.at[bi, :, :, :, pl.ds(row0, rows), :], s1, sems.at[1])
+        c0.start()
+        c1.start()
+        c0.wait()
+        c1.wait()
+
+        state = (jnp.full((band, w), 1e9, jnp.float32),
+                 jnp.full((band, w), -1.0, jnp.float32),
+                 jnp.zeros((band, w), jnp.float32), 0.0)
+        for parity, ref in enumerate((s0, s1)):
+            def buf_at(sy, sx, ch, oy, ox, ref=ref):
+                # buffer row (y + pad - oy) sits at local row
+                # y_local + pad - oy (DMA started at the band row itself)
+                return ref[sy, sx, ch, pad - oy:pad - oy + band,
+                           pad - ox:pad - ox + w]
+            state = _winner_tests(buf_at, band, w, window,
+                                  state[:3] + (float(parity),))
+        best_zq, best_cell, best_par, _ = state
+        cell_ref[0] = best_cell.astype(jnp.int32)
+        par_ref[0] = best_par.astype(jnp.int32)
+
+    spec_in = pl.BlockSpec(memory_space=pltpu.ANY)
+    spec_out = pl.BlockSpec((1, band, w), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    cell, par = pl.pallas_call(
+        kernel,
+        grid=(b, n_bands),
+        in_specs=[spec_in, spec_in],
+        out_specs=(spec_out, spec_out),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, rows, wp), jnp.int16),
+            pltpu.VMEM((2, 2, 8, rows, wp), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(buf0, buf1)
+    return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
+
+
+def _winner_pallas_ok(h, w, window):
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        return False
+    pad = window + 1
+    vmem_bytes = 2 * 4 * 11 * (h + 2 * pad) * (w + 2 * pad) * 4
+    return vmem_bytes < 10 * 2 ** 20  # leave headroom of the ~16MB VMEM
+
+
+@partial(jax.jit, static_argnames=("h", "w", "window", "near", "far"))
+def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
+    """Grid-mesh depth rasterizer — the TPU hot path.
+
+    Three stages (TPU profiling: scatters and gathers are both fast; what
+    kills naive ports is materialized candidate-tensor HBM traffic and XLA's
+    inability to fuse ~8*window^2 shifted-slice tests):
+
+      1. [stop-grad] scatter each face's payload to its half-pixel bbox-start
+         slot (one row-scatter per triangle parity) — `_build_winner_buffers`;
+      2. [stop-grad] dense winner pass over the buffers: a Pallas kernel
+         holds both buffers in VMEM and runs every candidate test in one
+         fused pass (XLA shifted-slice fallback off-TPU);
+      3. [differentiable] per-pixel gather of the winning face's 3 vertices
+         from the live vertex fields, exact barycentric + perspective-correct
+         1/z interpolation — plain autodiff yields the vertex gradients
+         (nvdiffrast's factorization).
+
+    vx, vy: (B, H, W) screen coords of the warped grid; vz: (B, H, W) camera
+    depth.  Uncovered pixels get `far`.
+    """
+    b = vx.shape[0]
+    dtype = vx.dtype
+    sg = jax.lax.stop_gradient
+    buf0, buf1 = _build_winner_buffers(sg(vx), sg(vy), sg(vz), h, w, window,
+                                       near, far)
+    if _winner_pallas_ok(h, w, window):
+        cell, par, covered = _dense_winner_pallas(buf0, buf1, h, w, window)
+    else:
+        cell, par, covered = _dense_winner_xla(buf0, buf1, h, w, window)
+    cell = sg(cell)
+    par = sg(par)
+    covered = sg(covered)
+
+    # winner cell -> vertex flat ids; upper tri = (tl, bl, tr),
+    # lower = (tr, bl, br) (grid_faces order)
+    ci = (cell / (w - 1)).astype(jnp.int32)
+    ci = jnp.clip(cell.astype(jnp.int32) // (w - 1), 0, h - 2)
+    cj = jnp.clip(cell.astype(jnp.int32) - ci * (w - 1), 0, w - 2)
+    tl = ci * w + cj
+    bl = tl + w
+    tr = tl + 1
+    br = bl + 1
+    is_up = par < 0.5
+    v0 = jnp.where(is_up, tl, tr)
+    v1 = bl
+    v2 = jnp.where(is_up, tr, br)
+    tri = jnp.stack([v0, v1, v2], -1).reshape(b, h * w, 3)
+
+    def gather(v):
+        return jnp.take_along_axis(v.reshape(b, h * w)[:, :, None],
+                                   tri, axis=1)
+
+    tx, ty, tz = gather(vx), gather(vy), gather(vz)
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=dtype),
+                          jnp.arange(w, dtype=dtype), indexing="ij")
+    px = jnp.broadcast_to(gx.reshape(1, -1), (b, h * w))
+    py = jnp.broadcast_to(gy.reshape(1, -1), (b, h * w))
+    l0, l1, l2, _ = _barycentric(
+        px, py, tx[..., 0], ty[..., 0], tx[..., 1], ty[..., 1],
+        tx[..., 2], ty[..., 2])
+    inv_z = l0 / tz[..., 0] + l1 / tz[..., 1] + l2 / tz[..., 2]
+    z = 1.0 / jnp.maximum(inv_z, 1e-12)
+    return jnp.where(covered, z.reshape(b, h, w), jnp.asarray(far, dtype))
+
+
+def rasterize_depth(xs, ys, zs, faces, h, w, window=5, near=0.3, far=1.3,
+                    mode="grid", search=1):
     """Render a depth map from projected grid-mesh vertices.
 
     xs, ys: (B, N) screen-space pixel coordinates (x right, y down, pixel
     centers at integers); zs: (B, N) camera depth; faces: (F, 3) int32.
     Uncovered pixels get `far`.  Gradients flow to xs/ys/zs through the
     barycentric interpolation of each pixel's winning face.
+
+    mode: 'grid' (dense payload-scatter rasterizer, the TPU hot path —
+    requires xs/ys/zs to be the row-major regular-grid vertex fields),
+    'invwarp' (gather-based winner search) or 'scatter' (segment-min
+    z-buffer — exact for arbitrary meshes/warps, gather-bound on TPU).
     """
     b = xs.shape[0]
-    winner = jax.lax.stop_gradient(
-        _winner_pass(jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys),
-                     jax.lax.stop_gradient(zs), faces, h, w, window,
-                     float(near), float(far)))
+    if mode == "grid" and xs.shape[1] == h * w:
+        # window 3 covers the training warps' triangle extents; the static
+        # candidate-test unroll grows as 8*window^2
+        return rasterize_depth_grid(
+            xs.reshape(b, h, w), ys.reshape(b, h, w), zs.reshape(b, h, w),
+            h, w, window=min(window, 3), near=float(near), far=float(far))
+    if mode == "invwarp":
+        winner = jax.lax.stop_gradient(
+            _winner_pass_invwarp(
+                jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys),
+                jax.lax.stop_gradient(zs), h, w, search=search))
+    else:
+        winner = jax.lax.stop_gradient(
+            _winner_pass(jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys),
+                         jax.lax.stop_gradient(zs), faces, h, w, window,
+                         float(near), float(far)))
 
     covered = winner >= 0
     wf = jnp.where(covered, winner, 0).reshape(b, h * w)  # (B, P)

@@ -85,34 +85,38 @@ class InstanceParallelTrainer:
             latent = latent[None]
             k2 = key
 
-            # ---- step 1 ----
+            # ---- step 1 (invariants hoisted out of the scan) ----
             sub, rest = _split(params, STEP_SUBSETS[1])
+            inv = model.step1_invariants(params, self.frozen, image)
 
             def s1_loss(sub):
-                return model.forward_step1({**rest, **sub}, self.frozen,
-                                           image)
-            coll0 = jax.tree.map(
-                lambda sd: jax.lax.pcast(jnp.zeros(sd.shape, sd.dtype),
-                                         (axis,), to="varying"),
-                jax.eval_shape(s1_loss, sub)[1])
+                return model.step1_iter({**rest, **sub}, self.frozen, image,
+                                        inv)
+            albedo0 = jax.lax.pcast(
+                jnp.zeros(jax.eval_shape(s1_loss, sub)[1].shape),
+                (axis,), to="varying")
 
             def s1_body(carry, _):
                 sub, s, _ = carry
-                (loss, coll), grads = jax.value_and_grad(
+                (loss, albedo), grads = jax.value_and_grad(
                     s1_loss, has_aux=True)(sub)
                 upd, s = opts[1].update(grads, s, sub)
-                return (optax.apply_updates(sub, upd), s, coll), loss
-            (sub, st1, collected), l1 = jax.lax.scan(
-                s1_body, (sub, opt_states[0], coll0), None, length=n1)
+                return (optax.apply_updates(sub, upd), s, albedo), loss
+            (sub, st1, albedo), l1 = jax.lax.scan(
+                s1_body, (sub, opt_states[0], albedo0), None, length=n1)
+            collected = (inv["normal"], inv["light_a"], inv["light_b"],
+                         albedo, inv["depth"])
             params = {**rest, **sub}
 
             # ---- step 2 ----
             sub, rest = _split(params, STEP_SUBSETS[2])
+            inv2 = model.step2_invariants(self.frozen, latent)
 
             def s2_loss(sub, k):
                 return model.forward_step2({**rest, **sub}, self.frozen,
                                            image, latent, collected, k,
-                                           n_proj_samples=n_proj)
+                                           n_proj_samples=n_proj,
+                                           invariants=inv2)
             keys = jax.random.split(k2, n2)
             coll20 = jax.tree.map(
                 lambda sd: jax.lax.pcast(jnp.zeros(sd.shape, sd.dtype),

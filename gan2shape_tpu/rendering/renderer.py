@@ -97,6 +97,10 @@ class Renderer:
         self.renderer_min_depth = config.get("renderer_min_depth", 0.1)
         self.renderer_max_depth = config.get("renderer_max_depth", 10.0)
         self.raster_window = config.get("raster_window", 5)
+        # 'grid' (dense payload-scatter, TPU hot path); sweeps with large
+        # rotations force 'scatter' internally
+        self.raster_mode = config.get("raster_mode", "grid")
+        self.raster_search = config.get("raster_search", 2)
 
         s = image_size
         f = (s - 1) / 2 / math.tan(self.fov / 2 * math.pi / 180)
@@ -168,7 +172,8 @@ class Renderer:
         z = jnp.maximum(proj[..., 2], 1e-6)
         return proj[..., 0] / z, proj[..., 1] / z, pts[..., 2]
 
-    def warp_canon_depth(self, canon_depth, rot_mat, trans_xyz):
+    def warp_canon_depth(self, canon_depth, rot_mat, trans_xyz,
+                         raster_mode=None):
         """Re-render the canonical depth under a view (reference
         renderer.py:116-125: nr.render_depth + clamp-with-margin)."""
         b, h, w = canon_depth.shape
@@ -178,7 +183,8 @@ class Renderer:
         depth = rasterize_depth(
             xs, ys, zs, self.faces, h, w, window=self.raster_window,
             near=self.min_depth - self.margin,
-            far=self.max_depth + self.margin)
+            far=self.max_depth + self.margin,
+            mode=raster_mode or self.raster_mode, search=self.raster_search)
         return jnp.clip(depth, self.min_depth - self.margin,
                         self.max_depth + self.margin)
 
@@ -223,7 +229,8 @@ class Renderer:
 
     # ---------------- view synthesis ----------------
 
-    def render_given_view(self, im, depth, view, mask=None, grid_sample_mode=True):
+    def render_given_view(self, im, depth, view, mask=None,
+                          grid_sample_mode=True, raster_mode=None):
         """Render image(+mask) under `view` (reference renderer.py:252-277).
         grid_sample_mode=True: warp depth, inverse-warp a sampling grid and
         grid-sample (the hot path used by pseudo-sample generation);
@@ -231,7 +238,8 @@ class Renderer:
         b, c, h, w = im.shape
         rot_mat, trans_xyz = get_transform_matrices(view)
         if grid_sample_mode:
-            recon_depth = self.warp_canon_depth(depth, rot_mat, trans_xyz)
+            recon_depth = self.warp_canon_depth(depth, rot_mat, trans_xyz,
+                                                raster_mode=raster_mode)
             grid = self.get_inv_warped_2d_grid(recon_depth, rot_mat, trans_xyz)
             warped = grid_sample(im, grid, mode="bilinear")
             if mask is not None:
@@ -272,8 +280,9 @@ class Renderer:
                                    im.dtype).reshape(1, 6)
                 if v_before is not None:
                     view = view - v_before
-                frames.append(self.render_given_view(im, depth, view,
-                                                     grid_sample_mode=True))
+                frames.append(self.render_given_view(
+                    im, depth, view, grid_sample_mode=True,
+                    raster_mode="scatter"))
             else:
                 rvec = jnp.asarray([0.0, ri, 0.0], im.dtype).reshape(1, 3)
                 rot_i, _ = get_transform_matrices(rvec)
@@ -307,8 +316,9 @@ class Renderer:
                 view = jnp.asarray([ri, 0, 0, 0, 0, 0], im.dtype).reshape(1, 6)
                 if v_before is not None:
                     view = view - v_before
-                frames.append(self.render_given_view(im, depth, view,
-                                                     grid_sample_mode=True))
+                frames.append(self.render_given_view(
+                    im, depth, view, grid_sample_mode=True,
+                    raster_mode="scatter"))
             else:
                 rvec = jnp.asarray([ri, 0.0, 0.0], im.dtype).reshape(1, 3)
                 rot_i, _ = get_transform_matrices(rvec)
