@@ -1,0 +1,89 @@
+"""Auxiliary subsystem tests: gradient diagnostics, tensor utils, the
+working StyleGAN2 training step, priors, config merge, checkpoint naming."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from gan2shape_tpu.core.diagnostics import grad_norms, StepTimer
+from gan2shape_tpu.utils.tensor_utils import (
+    mm_normalize, rand_range, rand_posneg_range, get_grid, get_mask_range,
+)
+from gan2shape_tpu.core.priors import PriorGenerator, FallbackMasker
+from gan2shape_tpu.utils.config import load_config, DEFAULTS
+
+
+def test_grad_norms_and_timer():
+    g = {"albedo": {"w": jnp.ones((2, 2))}, "depth": {"w": jnp.zeros(3)}}
+    norms = grad_norms(g)
+    assert float(norms["albedo"]) == 2.0
+    assert float(norms["depth"]) == 0.0
+    t = StepTimer()
+    with t.time("block", n_iters=10):
+        pass
+    assert t.summary()[0]["name"] == "block"
+
+
+def test_tensor_utils(rng):
+    x = jnp.asarray(rng.standard_normal((5, 5)).astype(np.float32))
+    n = mm_normalize(x, 0, 1)
+    assert float(n.min()) == 0.0 and abs(float(n.max()) - 1.0) < 1e-6
+
+    key = jax.random.PRNGKey(0)
+    r = rand_range(key, (1000,), 2.0, 3.0)
+    assert float(r.min()) >= 2.0 and float(r.max()) <= 3.0
+    rp = rand_posneg_range(key, (1000,), 0.5, 1.0)
+    assert (np.abs(np.asarray(rp)) >= 0.5 - 1e-6).all()
+
+    grid = get_grid(2, 4, 6, normalize=True)
+    assert grid.shape == (2, 4, 6, 2)
+    # torch parity of the (x, y) ordering
+    h_range = torch.linspace(-1, 1, 4)
+    w_range = torch.linspace(-1, 1, 6)
+    tg = torch.stack(torch.meshgrid([h_range, w_range],
+                                    indexing="ij"), -1).flip(2)
+    np.testing.assert_allclose(np.asarray(grid[0]), tg.numpy(), atol=1e-6)
+
+    mask = np.zeros((8, 8), bool)
+    mask[2:5, 3:7] = True
+    max_y, min_y, max_x, min_x = get_mask_range(jnp.asarray(mask))
+    assert (int(max_y), int(min_y), int(max_x), int(min_x)) == (4, 2, 6, 3)
+
+
+def test_all_priors_run(rng):
+    img = rng.uniform(-1, 1, (3, 32, 32)).astype(np.float32)
+    for name in ("box", "masked_box", "smoothed_box", "ellipsoid",
+                 "confidence", "smoothed_confidence"):
+        pg = PriorGenerator(32, "face", name,
+                            masking_model=FallbackMasker(32))
+        prior = pg(img)
+        assert prior.shape == (1, 32, 32), name
+        assert np.isfinite(prior).all(), name
+        if name in ("ellipsoid", "smoothed_box", "smoothed_confidence"):
+            # depth-valued priors stay in the near/far band; box variants
+            # are 0/1-flavored like the reference (priors.py:26-45)
+            assert prior.min() >= 0.85 and prior.max() <= 1.1, name
+
+
+def test_config_merge(tmp_path):
+    cfg = load_config(overrides={"image_size": 64})
+    assert cfg["image_size"] == 64
+    assert cfg["prior_name"] == DEFAULTS["prior_name"]
+
+
+@pytest.mark.slow
+def test_stylegan2_train_step(rng):
+    from gan2shape_tpu.models.stylegan2_train import StyleGAN2Trainer
+    t = StyleGAN2Trainer(size=32, style_dim=64, n_mlp=2,
+                         channel_multiplier=1)
+    state = t.init(jax.random.PRNGKey(0), batch_size=2)
+    real = jnp.asarray(rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32))
+    state, metrics = t.train_step(state, real, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert np.isfinite(float(metrics["r1"]))
+    # a second step must also run (optimizer states thread through)
+    state, metrics = t.train_step(state, real, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["g_loss"]))
