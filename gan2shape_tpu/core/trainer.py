@@ -206,6 +206,27 @@ class Trainer:
 
     # ---------------- training loops ----------------
 
+    def debug_report(self, image, latent):
+        """Gradient-flow check: which nets receive gradients in each step
+        (the reference's --debug alerter, debug_grad_updates.py, as in-graph
+        norms instead of backward-hook prints)."""
+        from gan2shape_tpu.core import diagnostics
+
+        g1 = jax.grad(lambda p: self.model.forward_step1(
+            p, self.frozen, image)[0])(self.params)
+        diagnostics.report_grad_norms(diagnostics.grad_norms(g1), "step1")
+        _, coll = self.model.forward_step1(self.params, self.frozen, image)
+        g2 = jax.grad(lambda p: self.model.forward_step2(
+            p, self.frozen, image, latent, coll, jax.random.PRNGKey(0),
+            n_proj_samples=2)[0])(self.params)
+        diagnostics.report_grad_norms(diagnostics.grad_norms(g2), "step2")
+        _, coll2 = self.model.forward_step2(
+            self.params, self.frozen, image, latent, coll,
+            jax.random.PRNGKey(0), n_proj_samples=2)
+        g3 = jax.grad(lambda p: self.model.forward_step3(
+            p, self.frozen, image, latent, coll2)[0])(self.params)
+        diagnostics.report_grad_norms(diagnostics.grad_norms(g3), "step3")
+
     def pretrain_on_prior(self, image, image_idx, plot_depth_map=False):
         """Fit the depth net to the shape prior (reference trainer.py:130-161;
         fresh Adam per image as in trainer.py:131)."""
@@ -234,6 +255,8 @@ class Trainer:
                 latent = latent[None]
             log.info("training on image %d/%d", idx + 1, len(images_latents))
 
+            if self.debug and idx == 0:
+                self.debug_report(image, latent)
             if self.load_dict is None:
                 self.pretrain_on_prior(image, data_index, plot_depth_map)
 
@@ -264,13 +287,34 @@ class Trainer:
                 history.append({
                     "image": int(data_index), "stage": stage_i,
                     "loss_step1": float(l1[-1]), "loss_step2": float(l2[-1]),
-                    "loss_step3": float(l3[-1]), "seconds": dt})
+                    "loss_step3": float(l3[-1]), "seconds": dt,
+                    "total_it": total_it})
+                self._log_wandb(history[-1])
 
                 if self.save_ckpts:
                     self.ckpt.save(self.params, data_index, stage_i,
                                    total_it, self.category)
+
+            if self.plot_intermediate:
+                try:
+                    from gan2shape_tpu.utils import plotting
+                    recon_im, recon_depth = self.evaluate(image)
+                    plotting.plot_reconstructions(
+                        np.asarray(recon_im), np.asarray(recon_depth),
+                        total_it=str(total_it), im_idx=str(data_index))
+                except Exception as e:  # plotting must never kill training
+                    log.warning("intermediate plot failed: %s", e)
         log.info("finished training")
         return history
+
+    def _log_wandb(self, record):
+        if not self.log_wandb:
+            return
+        try:
+            import wandb
+            wandb.log(record)
+        except ImportError:
+            pass
 
     def evaluate(self, image):
         return self.model.evaluate_results(self.params, self.frozen, image)
