@@ -3,9 +3,10 @@ from gan2shape_tpu.models.networks import (
     ViewpointNet, LightingNet, DepthNet, AlbedoNet, OffsetEncoder,
 )
 from gan2shape_tpu.models.lpips import LPIPS
+from gan2shape_tpu.models.segmentation import PSPNet, BiSeNet
 
 __all__ = [
     "Generator", "Discriminator",
     "ViewpointNet", "LightingNet", "DepthNet", "AlbedoNet", "OffsetEncoder",
-    "LPIPS",
+    "LPIPS", "PSPNet", "BiSeNet",
 ]

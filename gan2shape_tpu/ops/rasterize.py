@@ -4,22 +4,28 @@ replacement for the reference's external CUDA `neural_renderer`
 
 The reference rasterizes a general triangle mesh with a hand-written CUDA
 z-buffer.  Here the mesh is always the fixed regular-grid triangulation of a
-depth map (renderer/utils.py:76-80): 2*(h-1)*(w-1) tiny triangles whose screen
-footprints are a few pixels, which permits a two-pass, fully-vectorized design
-that XLA maps well:
+depth map (renderer/utils.py:76-80): 2*(h-1)*(w-1) tiny triangles whose
+screen footprints are a few pixels.  Three implementations, selected by
+`mode`:
 
-  pass 1 (non-differentiable winner search): every face tests a static
-      WINDOW x WINDOW pixel neighborhood of its screen bbox corner; candidate
-      (pixel, face) pairs are reduced with one `segment_min` over packed
-      int32 keys (quantized depth in the high bits, face id in the low bits)
-      — the z-buffer becomes a single XLA scatter-min instead of serialized
-      atomics;
+  * 'grid' (default, the TPU hot path — rasterize_depth_grid): compact int16
+    payloads scattered once to half-pixel bbox-start slots, a Pallas winner
+    kernel that DMAs each row band's slab into VMEM and runs every candidate
+    test fused, then a differentiable gather + barycentric/perspective-
+    correct re-interpolation of each pixel's winning face (nvdiffrast's
+    "rasterize ids, differentiate the interpolation" factorization).
+    Measured TPU costs that shaped it: XLA gathers ~2 ns/element (fine),
+    XLA scatters ~600 ns/update and segment_min ~90 ns/element (fatal),
+    XLA 8*window^2-way shifted-slice graphs unfusable (minutes of compile).
 
-  pass 2 (differentiable interpolation): each covered pixel re-computes
-      barycentric weights against its winning face and interpolates depth
-      perspective-correctly (1/z linear in screen space).  Plain autodiff then
-      yields exact vertex gradients — the same "rasterize ids, differentiate
-      the interpolation" factorization nvdiffrast uses, with no custom VJP.
+  * 'scatter' (_winner_pass): window-offset candidates reduced by one
+    segment_min over packed (depth | face-id) int32 keys.  Exact for
+    arbitrary meshes and unbounded warps; used by the large-rotation
+    visualization sweeps.  Slow on TPU.
+
+  * 'invwarp' (_winner_pass_invwarp): fixed-point inversion of the vertex
+    displacement field + local exact tests.  Gather-only; kept as a design
+    alternative and CPU path.
 
 Faces wider than WINDOW pixels (extreme warps only) lose coverage and leave
 background; downstream masks-out such pixels exactly like the reference masks
