@@ -481,6 +481,226 @@ def _dense_winner_pallas(buf0, buf1, h, w, window, band=32):
     return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
 
 
+def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
+    """Fully-fused Pallas rasterizer winner pass: payload computation,
+    placement AND candidate tests in one kernel per batch item.
+
+    Why: XLA's scatter costs ~600 ns/update (the placement of 2x16k face
+    payloads dominated the whole training step at ~150-300 ms for b=16).
+    On-chip, placement is a serial scalar-store loop at ~30 cycles/face
+    (~1 ms/item) while everything else stays vectorized:
+
+      Phase A (vector): per-face slot + packed payload from the (H, W)
+          vertex fields — corners via shifted slices, fixed-point relative
+          coords packed as 4 int32 pairs + one packed slot word;
+      Phase B (scalar loop): place each face's 4 pair words into the
+          phase-split slot buffer in VMEM — the TPU-native z-buffer scatter;
+      Phase C (vector): all 8*window^2 candidate tests from VMEM, tracking
+          min-depth winner cell/parity.
+
+    Returns (cell f32, parity f32, covered bool), matching
+    _dense_winner_xla semantics.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = vx.shape[0]
+    pad = window + 1
+    hp, wp = h + 2 * pad, w + 2 * pad
+    wp_s = -(-wp // 128) * 128
+    n_fr = h - 1
+    zscale = 32000.0 / max(far - near, 1e-6)
+
+    def kernel(vx_ref, vy_ref, vz_ref, cell_ref, par_ref, slotbuf, paya,
+               smem_row, sem):
+        fx = vx_ref[0]
+        fy = vy_ref[0]
+        fz = vz_ref[0]
+
+        # invalidate the slot buffer: pair3's low half (cell) = -1
+        for par in range(2):
+            for sy in range(2):
+                for sx in range(2):
+                    slotbuf[par, sy, sx, 3] = jnp.full((hp, wp_s), 0xFFFF,
+                                                       jnp.int32)
+
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (n_fr, w), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (n_fr, w), 0)
+        valid_col = lane_j < (w - 1)
+
+        def shifted(v):  # v[:, j+1] with the last lane garbage (masked)
+            return pltpu.roll(v, w - 1, 1)  # circular left-by-1
+
+        for par in range(2):
+            # corners for this triangle parity (tl,bl,tr) / (tr,bl,br)
+            top = (fx[:-1, :], fy[:-1, :], fz[:-1, :])
+            bot = (fx[1:, :], fy[1:, :], fz[1:, :])
+            tl = top
+            bl = bot
+            tr = tuple(shifted(v) for v in top)
+            br = tuple(shifted(v) for v in bot)
+            if par == 0:
+                v0, v1, v2 = tl, bl, tr
+            else:
+                v0, v1, v2 = tr, bl, br
+            x0, y0, z0 = v0
+            x1, y1, z1 = v1
+            x2, y2, z2 = v2
+
+            min_x = jnp.minimum(jnp.minimum(x0, x1), x2)
+            min_y = jnp.minimum(jnp.minimum(y0, y1), y2)
+            bx2 = jnp.floor(2.0 * min_x).astype(jnp.int32)
+            by2 = jnp.floor(2.0 * min_y).astype(jnp.int32)
+            inb = ((bx2 >= -2 * pad) & (bx2 < 2 * (wp - pad))
+                   & (by2 >= -2 * pad) & (by2 < 2 * (hp - pad)) & valid_col)
+            s_x = jnp.clip(bx2 + 2 * pad, 0, 2 * wp - 1)
+            s_y = jnp.clip(by2 + 2 * pad, 0, 2 * hp - 1)
+            qy, sy = s_y >> 1, s_y & 1
+            qx, sx = s_x >> 1, s_x & 1
+            ax = (qx - pad).astype(jnp.float32)
+            ay = (qy - pad).astype(jnp.float32)
+
+            def fx16(v, anchor):
+                q = jnp.clip(jnp.round((v - anchor) * 256.0), -32767.0,
+                             32767.0)
+                return q.astype(jnp.int32)
+
+            def pack(hi, lo):
+                return (hi << 16) | (lo & 0xFFFF)
+
+            zmean = (z0 + z1 + z2) * (1.0 / 3.0)
+            zq = jnp.clip(jnp.round((zmean - near) * zscale), 0.0,
+                          32767.0).astype(jnp.int32)
+            cell = row_i * (w - 1) + lane_j
+            paya[0] = pack(fx16(y0, ay), fx16(x0, ax))
+            paya[1] = pack(fx16(y1, ay), fx16(x1, ax))
+            paya[2] = pack(fx16(y2, ay), fx16(x2, ax))
+            paya[3] = pack(zq, cell)
+            slot = qy | (qx << 9) | (sy << 18) | (sx << 19)
+            paya[4] = jnp.where(inb, slot, -1)
+
+            # ---- Phase B: serial placement ----
+            # Mosaic has no scalar VMEM access: stage each face row in SMEM
+            # (DMA) for scalar reads, and write each payload word as a
+            # masked full-row read-modify-write at a dynamic sublane offset.
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, wp_s), 1)
+
+            def row_body(i, _):
+                cp = pltpu.make_async_copy(paya.at[:, pl.ds(i, 1), :],
+                                           smem_row, sem)
+                cp.start()
+                cp.wait()
+
+                def col_body(j, _):
+                    s = smem_row[4, 0, j]
+
+                    @pl.when(s >= 0)
+                    def _():
+                        qy_s = s & 0x1FF
+                        qx_s = (s >> 9) & 0x1FF
+                        sy_s = (s >> 18) & 1
+                        sx_s = (s >> 19) & 1
+                        hit = lane_ids == qx_s
+                        for p in range(4):
+                            cur = slotbuf[par, sy_s, sx_s, p,
+                                          pl.ds(qy_s, 1), :]
+                            val = jnp.full((1, wp_s), smem_row[p, 0, j],
+                                           jnp.int32)
+                            slotbuf[par, sy_s, sx_s, p,
+                                    pl.ds(qy_s, 1), :] = jnp.where(
+                                hit, val, cur)
+                    return 0
+
+                jax.lax.fori_loop(0, w - 1, col_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_fr, row_body, 0)
+
+        # ---- Phase C: candidate tests ----
+        def lo16(v):
+            return jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(v, 16), 16).astype(jnp.float32)
+
+        def hi16(v):
+            return jax.lax.shift_right_arithmetic(v, 16).astype(jnp.float32)
+
+        best_zq = jnp.full((h, w), 1e9, jnp.float32)
+        best_cell = jnp.full((h, w), -1.0, jnp.float32)
+        best_par = jnp.zeros((h, w), jnp.float32)
+        for par in range(2):
+            for oy in range(window):
+                for sy in range(2):
+                    for ox in range(window):
+                        for sx in range(2):
+                            def sl(p):
+                                return slotbuf[par, sy, sx, p,
+                                               pad - oy:pad - oy + h,
+                                               pad - ox:pad - ox + w]
+                            p0, p1, p2, p3 = sl(0), sl(1), sl(2), sl(3)
+                            dx0, dy0 = lo16(p0), hi16(p0)
+                            dx1, dy1 = lo16(p1), hi16(p1)
+                            dx2, dy2 = lo16(p2), hi16(p2)
+                            cellv = jax.lax.shift_right_arithmetic(
+                                jax.lax.shift_left(p3, 16), 16
+                            ).astype(jnp.float32)
+                            zqv = hi16(p3)
+                            px2 = 256.0 * ox - dx2
+                            py2 = 256.0 * oy - dy2
+                            denom = (dy1 - dy2) * (dx0 - dx2) \
+                                + (dx2 - dx1) * (dy0 - dy2)
+                            safe = jnp.where(jnp.abs(denom) > 0.5, denom,
+                                             1.0)
+                            l0 = ((dy1 - dy2) * px2
+                                  + (dx2 - dx1) * py2) / safe
+                            l1 = ((dy2 - dy0) * px2
+                                  + (dx0 - dx2) * py2) / safe
+                            l2 = 1.0 - l0 - l1
+                            eps = -1e-5
+                            inside = ((l0 >= eps) & (l1 >= eps)
+                                      & (l2 >= eps)
+                                      & (jnp.abs(denom) > 0.5)
+                                      & (cellv >= 0))
+                            better = inside & (zqv < best_zq)
+                            best_zq = jnp.where(better, zqv, best_zq)
+                            best_cell = jnp.where(better, cellv, best_cell)
+                            best_par = jnp.where(better, float(par),
+                                                 best_par)
+        cell_ref[0] = best_cell.astype(jnp.int32)
+        par_ref[0] = best_par.astype(jnp.int32)
+
+    spec_v = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cell, par = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_v, spec_v, spec_v],
+        out_specs=(spec_out, spec_out),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, 4, hp, wp_s), jnp.int32),
+            pltpu.VMEM((5, n_fr, w), jnp.int32),
+            pltpu.SMEM((5, 1, w), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(jax.lax.stop_gradient(vx), jax.lax.stop_gradient(vy),
+      jax.lax.stop_gradient(vz))
+    return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
+
+
+def _mega_pallas_ok(h, w, window):
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        return False
+    pad = window + 1
+    wp_s = -(-(w + 2 * pad) // 128) * 128
+    vmem = (2 * 2 * 2 * 4 * (h + 2 * pad) * wp_s * 4  # slot buffer
+            + 5 * (h - 1) * w * 4 + 5 * h * w * 4)
+    return vmem < 9 * 2 ** 20
+
+
 def _winner_pallas_ok(h, w, window):
     import jax
     if jax.devices()[0].platform != "tpu":
@@ -514,12 +734,17 @@ def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
     b = vx.shape[0]
     dtype = vx.dtype
     sg = jax.lax.stop_gradient
-    buf0, buf1 = _build_winner_buffers(sg(vx), sg(vy), sg(vz), h, w, window,
-                                       near, far)
-    if _winner_pallas_ok(h, w, window):
-        cell, par, covered = _dense_winner_pallas(buf0, buf1, h, w, window)
+    if _mega_pallas_ok(h, w, window):
+        cell, par, covered = _raster_mega_pallas(
+            sg(vx), sg(vy), sg(vz), h, w, window, float(near), float(far))
     else:
-        cell, par, covered = _dense_winner_xla(buf0, buf1, h, w, window)
+        buf0, buf1 = _build_winner_buffers(sg(vx), sg(vy), sg(vz), h, w,
+                                           window, near, far)
+        if _winner_pallas_ok(h, w, window):
+            cell, par, covered = _dense_winner_pallas(buf0, buf1, h, w,
+                                                      window)
+        else:
+            cell, par, covered = _dense_winner_xla(buf0, buf1, h, w, window)
     cell = sg(cell)
     par = sg(par)
     covered = sg(covered)

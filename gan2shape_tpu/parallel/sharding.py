@@ -77,38 +77,54 @@ class InstanceParallelTrainer:
         opts = self.optimizers
         n_proj = self.n_proj_samples
 
-        def stage_one_instance(params, image, latent, key, opt_states,
-                               n1, n2, n3):
-            """One full stage (step1 x n1, step2 x n2, step3 x n3) for a
-            single instance; image (3,H,W), latent (D,)."""
-            image = image[None]
-            latent = latent[None]
-            k2 = key
+        from jax.sharding import PartitionSpec as P
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
 
-            # ---- step 1 (invariants hoisted out of the scan) ----
+        def pvary(x):
+            return jax.lax.pcast(x, (axis,), to="varying")
+
+        # The three steps compile as SEPARATE jit modules (one fused
+        # stage module takes tens of minutes in XLA:CPU for the dryruns),
+        # each as shard_map(vmap(...)): the per-instance vmapped convs lower
+        # to grouped convolutions that the SPMD partitioner cannot split
+        # along the group axis, so explicit per-device blocks with a local
+        # vmap are used — the work is embarrassingly parallel, zero
+        # collectives.
+        def sharded(fn, n_in, n_out):
+            def wrapper(*args):
+                def local(*a):
+                    return jax.vmap(fn)(*a)
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(P(axis),) * n_in,
+                    out_specs=(P(axis),) * n_out)(*args)
+            return wrapper
+
+        def step1_one(params, image, opt_state):
+            image = image[None]
             sub, rest = _split(params, STEP_SUBSETS[1])
             inv = model.step1_invariants(params, self.frozen, image)
 
             def s1_loss(sub):
                 return model.step1_iter({**rest, **sub}, self.frozen, image,
                                         inv)
-            albedo0 = jax.lax.pcast(
-                jnp.zeros(jax.eval_shape(s1_loss, sub)[1].shape),
-                (axis,), to="varying")
+            albedo0 = pvary(jnp.zeros(jax.eval_shape(s1_loss, sub)[1].shape))
 
-            def s1_body(carry, _):
+            def body(carry, _):
                 sub, s, _ = carry
                 (loss, albedo), grads = jax.value_and_grad(
                     s1_loss, has_aux=True)(sub)
                 upd, s = opts[1].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s, albedo), loss
-            (sub, st1, albedo), l1 = jax.lax.scan(
-                s1_body, (sub, opt_states[0], albedo0), None, length=n1)
+            (sub, st, albedo), losses = jax.lax.scan(
+                body, (sub, opt_state, albedo0), None, length=self._n1)
             collected = (inv["normal"], inv["light_a"], inv["light_b"],
                          albedo, inv["depth"])
-            params = {**rest, **sub}
+            return {**rest, **sub}, st, collected, losses[-1]
 
-            # ---- step 2 ----
+        def step2_one(params, image, latent, collected, key, opt_state):
+            image = image[None]
+            latent = latent[None]
             sub, rest = _split(params, STEP_SUBSETS[2])
             inv2 = model.step2_invariants(self.frozen, latent)
 
@@ -117,63 +133,60 @@ class InstanceParallelTrainer:
                                            image, latent, collected, k,
                                            n_proj_samples=n_proj,
                                            invariants=inv2)
-            keys = jax.random.split(k2, n2)
+            keys = jax.random.split(key, self._n2)
             coll20 = jax.tree.map(
-                lambda sd: jax.lax.pcast(jnp.zeros(sd.shape, sd.dtype),
-                                         (axis,), to="varying"),
+                lambda sd: pvary(jnp.zeros(sd.shape, sd.dtype)),
                 jax.eval_shape(s2_loss, sub, keys[0])[1])
 
-            def s2_body(carry, k):
+            def body(carry, k):
                 sub, s, _ = carry
                 (loss, coll2), grads = jax.value_and_grad(
                     s2_loss, has_aux=True)(sub, k)
                 upd, s = opts[2].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s, coll2), loss
-            (sub, st2, coll2), l2 = jax.lax.scan(
-                s2_body, (sub, opt_states[1], coll20), keys)
-            params = {**rest, **sub}
+            (sub, st, coll2), losses = jax.lax.scan(
+                body, (sub, opt_state, coll20), keys)
+            return {**rest, **sub}, st, coll2, losses[-1]
 
-            # ---- step 3 ----
+        def step3_one(params, image, latent, coll2, opt_state):
+            image = image[None]
+            latent = latent[None]
             sub, rest = _split(params, STEP_SUBSETS[3])
 
             def s3_loss(sub):
                 return model.forward_step3({**rest, **sub}, self.frozen,
                                            image, latent, coll2)[0]
 
-            def s3_body(carry, _):
+            def body(carry, _):
                 sub, s = carry
                 loss, grads = jax.value_and_grad(s3_loss)(sub)
                 upd, s = opts[3].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s), loss
-            (sub, st3), l3 = jax.lax.scan(s3_body, (sub, opt_states[2]),
-                                          None, length=n3)
-            params = {**rest, **sub}
-            return params, (st1, st2, st3), (l1[-1], l2[-1], l3[-1])
+            (sub, st), losses = jax.lax.scan(body, (sub, opt_state), None,
+                                             length=self._n3)
+            return {**rest, **sub}, st, losses[-1]
 
-        from jax.sharding import PartitionSpec as P
-        mesh = self.mesh
-        axis = mesh.axis_names[0]
+        @partial(jax.jit, static_argnames=("n1",), donate_argnums=(0, 1))
+        def run_stage1(params, opt_state, images, n1):
+            self._n1 = n1
+            return sharded(step1_one, 3, 4)(params, images, opt_state)
 
-        @partial(jax.jit, static_argnames=("n1", "n2", "n3"),
-                 donate_argnums=(0, 3))
-        def run_stage(params, images, latents, opt_states, keys,
-                      n1, n2, n3):
-            # shard_map (not jit sharding propagation): the per-instance
-            # vmapped convs lower to grouped convolutions that XLA's SPMD
-            # partitioner cannot split along the group axis; explicit
-            # per-device blocks with a local vmap sidestep that — the work is
-            # embarrassingly parallel, zero collectives.
-            def local(params, images, latents, opt_states, keys):
-                return jax.vmap(
-                    lambda p, im, la, k, os: stage_one_instance(
-                        p, im, la, k, os, n1, n2, n3),
-                    in_axes=(0, 0, 0, 0, 0))(params, images, latents, keys,
-                                             opt_states)
-            return jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis)))(
-                params, images, latents, opt_states, keys)
+        @partial(jax.jit, static_argnames=("n2",), donate_argnums=(0, 1))
+        def run_stage2(params, opt_state, images, latents, collected, keys,
+                       n2):
+            self._n2 = n2
+            return sharded(step2_one, 6, 4)(params, images, latents,
+                                            collected, keys, opt_state)
+
+        @partial(jax.jit, static_argnames=("n3",), donate_argnums=(0, 1))
+        def run_stage3(params, opt_state, images, latents, coll2, n3):
+            self._n3 = n3
+            return sharded(step3_one, 5, 3)(params, images, latents, coll2,
+                                            opt_state)
+
+        self._run_stage1 = run_stage1
+        self._run_stage2 = run_stage2
+        self._run_stage3 = run_stage3
 
         @partial(jax.jit, static_argnames=("n_iters",), donate_argnums=(0,))
         def run_prior(params_depth, images, priors, n_iters):
@@ -199,7 +212,6 @@ class InstanceParallelTrainer:
                 in_specs=(P(axis), P(axis), P(axis)),
                 out_specs=(P(axis), P(axis)))(params_depth, images, priors)
 
-        self._run_stage = run_stage
         self._run_prior = run_prior
 
     def init_opt_states(self):
@@ -207,7 +219,7 @@ class InstanceParallelTrainer:
             return tuple(
                 self.optimizers[s].init(_split(params, sub)[0])
                 for s, sub in STEP_SUBSETS.items())
-        states = jax.vmap(per_instance)(self.params)
+        states = jax.jit(jax.vmap(per_instance))(self.params)
         return jax.device_put(states, self._inst)
 
     def fit(self, images, latents, priors=None, stages=None):
@@ -224,17 +236,21 @@ class InstanceParallelTrainer:
             self.params["depth"] = depth
             log.info("prior pretrain: %.3e", float(losses[:, -1].mean()))
 
-        opt_states = self.init_opt_states()
+        st1, st2, st3 = self.init_opt_states()
         history = []
         for i, stage in enumerate(stages):
             keys = jax.random.split(self._next_key(), self.n)
-            self.params, opt_states, losses = self._run_stage(
-                self.params, images, latents, opt_states, keys,
-                n1=stage["step1"], n2=stage["step2"], n3=stage["step3"])
+            self.params, st1, collected, l1 = self._run_stage1(
+                self.params, st1, images, n1=stage["step1"])
+            self.params, st2, coll2, l2 = self._run_stage2(
+                self.params, st2, images, latents, collected, keys,
+                n2=stage["step2"])
+            self.params, st3, l3 = self._run_stage3(
+                self.params, st3, images, latents, coll2, n3=stage["step3"])
             rec = {"stage": i,
-                   "loss_step1": np.asarray(losses[0]).mean().item(),
-                   "loss_step2": np.asarray(losses[1]).mean().item(),
-                   "loss_step3": np.asarray(losses[2]).mean().item()}
+                   "loss_step1": np.asarray(l1).mean().item(),
+                   "loss_step2": np.asarray(l2).mean().item(),
+                   "loss_step3": np.asarray(l3).mean().item()}
             history.append(rec)
             log.info("stage %d: %.4f/%.4f/%.4f", i, rec["loss_step1"],
                      rec["loss_step2"], rec["loss_step3"])

@@ -13,10 +13,11 @@ from gan2shape_tpu.parallel import (
 from gan2shape_tpu.parallel.mesh import replicate_tree, shard_instance_tree
 
 CFG = {
-    "image_size": 64, "gan_size": 64, "z_dim": 512,
-    "channel_multiplier": 1, "category": "face",
+    "image_size": 64, "gan_size": 32, "z_dim": 512,
+    "channel_multiplier": 1, "category": "face", "disc_ftr_num": 3,
     "n_epochs_prior": 2, "n_proj_samples": 2, "learning_rate": 1e-4,
     "prior_name": "box", "rot_center_depth": 1.0, "fov": 10,
+    "raster_mode": "scatter",
 }
 
 
