@@ -92,6 +92,11 @@ class GAN2Shape:
 
     def __init__(self, config):
         self.config = dict(config)
+        # matmul/conv precision policy ('highest' = exact f32; 'high' =
+        # 3-pass bf16; 'default' = bf16) — geometry stays exact regardless
+        if "matmul_precision" in config:
+            from gan2shape_tpu.utils.precision import set_matmul_precision
+            set_matmul_precision(config["matmul_precision"])
         self.z_dim = config.get("z_dim", 512)
         self.image_size = config.get("image_size", 128)
         self.gan_size = config.get("gan_size", self.image_size)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
-_PREC = lax.Precision.HIGHEST
+from gan2shape_tpu.utils.precision import matmul_precision as _PREC_lookup
 
 
 def _torch_conv_init(fan_in):
@@ -43,7 +43,7 @@ class Conv2d(nn.Module):
             x, w.astype(x.dtype), window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding),
                      (self.padding, self.padding)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC)
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC_lookup())
         if self.use_bias:
             b = self.param("bias", _torch_conv_init(fan_in),
                            (self.out_channels,))
@@ -78,7 +78,7 @@ class ConvTranspose2d(nn.Module):
             x, rhs, window_strides=(1, 1),
             padding=((p, p), (p, p)),
             lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC)
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC_lookup())
         if self.use_bias:
             b = self.param("bias", _torch_conv_init(fan_in),
                            (self.out_channels,))
@@ -158,8 +158,8 @@ def adaptive_avg_pool2d(x, out_size):
     oh, ow = (out_size, out_size) if isinstance(out_size, int) else out_size
     mh = jnp.asarray(mat(h, oh), x.dtype)
     mw = jnp.asarray(mat(w, ow), x.dtype)
-    out = jnp.einsum("oh,bchw->bcow", mh, x, precision=_PREC)
-    return jnp.einsum("pw,bchw->bchp", mw, out, precision=_PREC)
+    out = jnp.einsum("oh,bchw->bcow", mh, x, precision=_PREC_lookup())
+    return jnp.einsum("pw,bchw->bchp", mw, out, precision=_PREC_lookup())
 
 
 def upsample_nearest(x, factor=2):

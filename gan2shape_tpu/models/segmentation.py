@@ -46,7 +46,7 @@ class DilatedConv2d(nn.Module):
                      (self.padding, self.padding)),
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=lax.Precision.HIGHEST)
+            precision=__import__('gan2shape_tpu.utils.precision', fromlist=['matmul_precision']).matmul_precision())
 
 
 # ---------------- ResNet backbones (reference resnet.py) ----------------

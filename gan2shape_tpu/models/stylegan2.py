@@ -37,8 +37,7 @@ from gan2shape_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
 from gan2shape_tpu.ops.fused_act import (
     fused_leaky_relu, inverse_fused_leaky_relu,
 )
-
-_PREC = lax.Precision.HIGHEST
+from gan2shape_tpu.utils.precision import matmul_precision as _PREC_lookup
 
 
 def channel_map(channel_multiplier: int) -> dict:
@@ -62,7 +61,7 @@ def _conv2d(x, w, stride=1, padding=0, groups=1):
         x, w, window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         feature_group_count=groups,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC_lookup())
 
 
 def _conv_transpose2d(x, w_oihw, stride=2):
@@ -74,7 +73,7 @@ def _conv_transpose2d(x, w_oihw, stride=2):
         window_strides=(1, 1),
         padding=((k - 1, k - 1), (k - 1, k - 1)),
         lhs_dilation=(stride, stride),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC_lookup())
 
 
 class EqualLinear(nn.Module):
@@ -101,7 +100,7 @@ class EqualLinear(nn.Module):
 
     def __call__(self, x):
         w = (self.weight * self.scale).astype(x.dtype)
-        out = jnp.matmul(x, w.T, precision=_PREC)
+        out = jnp.matmul(x, w.T, precision=_PREC_lookup())
         if self.activation == "fused_lrelu":
             return fused_leaky_relu(out, self.bias * self.lr_mul)
         if self.use_bias:
@@ -117,7 +116,7 @@ class EqualLinear(nn.Module):
         else:
             out = x - self.bias * self.lr_mul
         w_inv = jnp.linalg.inv(self.weight * self.scale)
-        return jnp.matmul(out, w_inv.T, precision=_PREC)
+        return jnp.matmul(out, w_inv.T, precision=_PREC_lookup())
 
 
 class EqualConv2d(nn.Module):
@@ -189,7 +188,7 @@ class ModulatedConv2d(nn.Module):
             # instead of materializing a per-sample weight tensor
             wsq = jnp.sum((self.weight[0] * scale) ** 2, axis=(2, 3))  # (o,i)
             demod = lax.rsqrt(
-                jnp.matmul(style ** 2, wsq.T, precision=_PREC) + 1e-8)
+                jnp.matmul(style ** 2, wsq.T, precision=_PREC_lookup()) + 1e-8)
 
         x = x * style[:, :, None, None].astype(x.dtype)
         wgt = (self.weight[0] * scale).astype(x.dtype)

@@ -92,22 +92,26 @@ class InstanceParallelTrainer:
         # vmap are used — the work is embarrassingly parallel, zero
         # collectives.
         def sharded(fn, n_in, n_out):
-            def wrapper(*args):
-                def local(*a):
-                    return jax.vmap(fn)(*a)
+            # frozen params ride along as a REPLICATED runtime argument —
+            # closing over them makes XLA treat every frozen weight as a
+            # compile-time constant and constant-fold conv transposes for
+            # minutes (8+ min on XLA:CPU for the LPIPS VGG alone)
+            def wrapper(frozen, *args):
+                def local(frozen, *a):
+                    return jax.vmap(fn, in_axes=(None,) + (0,) * len(a))(
+                        frozen, *a)
                 return jax.shard_map(
-                    local, mesh=mesh, in_specs=(P(axis),) * n_in,
-                    out_specs=(P(axis),) * n_out)(*args)
+                    local, mesh=mesh, in_specs=(P(),) + (P(axis),) * n_in,
+                    out_specs=(P(axis),) * n_out)(frozen, *args)
             return wrapper
 
-        def step1_one(params, image, opt_state):
+        def step1_one(frozen, params, image, opt_state):
             image = image[None]
             sub, rest = _split(params, STEP_SUBSETS[1])
-            inv = model.step1_invariants(params, self.frozen, image)
+            inv = model.step1_invariants(params, frozen, image)
 
             def s1_loss(sub):
-                return model.step1_iter({**rest, **sub}, self.frozen, image,
-                                        inv)
+                return model.step1_iter({**rest, **sub}, frozen, image, inv)
             albedo0 = pvary(jnp.zeros(jax.eval_shape(s1_loss, sub)[1].shape))
 
             def body(carry, _):
@@ -122,14 +126,15 @@ class InstanceParallelTrainer:
                          albedo, inv["depth"])
             return {**rest, **sub}, st, collected, losses[-1]
 
-        def step2_one(params, image, latent, collected, key, opt_state):
+        def step2_one(frozen, params, image, latent, collected, key,
+                      opt_state):
             image = image[None]
             latent = latent[None]
             sub, rest = _split(params, STEP_SUBSETS[2])
-            inv2 = model.step2_invariants(self.frozen, latent)
+            inv2 = model.step2_invariants(frozen, latent)
 
             def s2_loss(sub, k):
-                return model.forward_step2({**rest, **sub}, self.frozen,
+                return model.forward_step2({**rest, **sub}, frozen,
                                            image, latent, collected, k,
                                            n_proj_samples=n_proj,
                                            invariants=inv2)
@@ -148,13 +153,13 @@ class InstanceParallelTrainer:
                 body, (sub, opt_state, coll20), keys)
             return {**rest, **sub}, st, coll2, losses[-1]
 
-        def step3_one(params, image, latent, coll2, opt_state):
+        def step3_one(frozen, params, image, latent, coll2, opt_state):
             image = image[None]
             latent = latent[None]
             sub, rest = _split(params, STEP_SUBSETS[3])
 
             def s3_loss(sub):
-                return model.forward_step3({**rest, **sub}, self.frozen,
+                return model.forward_step3({**rest, **sub}, frozen,
                                            image, latent, coll2)[0]
 
             def body(carry, _):
@@ -166,23 +171,25 @@ class InstanceParallelTrainer:
                                              length=self._n3)
             return {**rest, **sub}, st, losses[-1]
 
-        @partial(jax.jit, static_argnames=("n1",), donate_argnums=(0, 1))
-        def run_stage1(params, opt_state, images, n1):
+        @partial(jax.jit, static_argnames=("n1",), donate_argnums=(1, 2))
+        def run_stage1(frozen, params, opt_state, images, n1):
             self._n1 = n1
-            return sharded(step1_one, 3, 4)(params, images, opt_state)
+            return sharded(step1_one, 3, 4)(frozen, params, images,
+                                            opt_state)
 
-        @partial(jax.jit, static_argnames=("n2",), donate_argnums=(0, 1))
-        def run_stage2(params, opt_state, images, latents, collected, keys,
-                       n2):
+        @partial(jax.jit, static_argnames=("n2",), donate_argnums=(1, 2))
+        def run_stage2(frozen, params, opt_state, images, latents, collected,
+                       keys, n2):
             self._n2 = n2
-            return sharded(step2_one, 6, 4)(params, images, latents,
+            return sharded(step2_one, 6, 4)(frozen, params, images, latents,
                                             collected, keys, opt_state)
 
-        @partial(jax.jit, static_argnames=("n3",), donate_argnums=(0, 1))
-        def run_stage3(params, opt_state, images, latents, coll2, n3):
+        @partial(jax.jit, static_argnames=("n3",), donate_argnums=(1, 2))
+        def run_stage3(frozen, params, opt_state, images, latents, coll2,
+                       n3):
             self._n3 = n3
-            return sharded(step3_one, 5, 3)(params, images, latents, coll2,
-                                            opt_state)
+            return sharded(step3_one, 5, 3)(frozen, params, images, latents,
+                                            coll2, opt_state)
 
         self._run_stage1 = run_stage1
         self._run_stage2 = run_stage2
@@ -241,12 +248,13 @@ class InstanceParallelTrainer:
         for i, stage in enumerate(stages):
             keys = jax.random.split(self._next_key(), self.n)
             self.params, st1, collected, l1 = self._run_stage1(
-                self.params, st1, images, n1=stage["step1"])
+                self.frozen, self.params, st1, images, n1=stage["step1"])
             self.params, st2, coll2, l2 = self._run_stage2(
-                self.params, st2, images, latents, collected, keys,
-                n2=stage["step2"])
+                self.frozen, self.params, st2, images, latents, collected,
+                keys, n2=stage["step2"])
             self.params, st3, l3 = self._run_stage3(
-                self.params, st3, images, latents, coll2, n3=stage["step3"])
+                self.frozen, self.params, st3, images, latents, coll2,
+                n3=stage["step3"])
             rec = {"stage": i,
                    "loss_step1": np.asarray(l1).mean().item(),
                    "loss_step2": np.asarray(l2).mean().item(),
