@@ -91,13 +91,22 @@ class InstanceParallelTrainer:
         # along the group axis, so explicit per-device blocks with a local
         # vmap are used — the work is embarrassingly parallel, zero
         # collectives.
+        n_per_dev = max(1, self.n // mesh.devices.size)
+
         def sharded(fn, n_in, n_out):
             # frozen params ride along as a REPLICATED runtime argument —
             # closing over them makes XLA treat every frozen weight as a
             # compile-time constant and constant-fold conv transposes for
-            # minutes (8+ min on XLA:CPU for the LPIPS VGG alone)
+            # minutes (8+ min on XLA:CPU for the LPIPS VGG alone).
+            # With one instance per device the vmap is skipped entirely
+            # (vmap of a size-1 axis still multiplies XLA:CPU compile time).
             def wrapper(frozen, *args):
                 def local(frozen, *a):
+                    if n_per_dev == 1:
+                        sq = [jax.tree.map(lambda x: x[0], t) for t in a]
+                        out = fn(frozen, *sq)
+                        return tuple(
+                            jax.tree.map(lambda x: x[None], t) for t in out)
                     return jax.vmap(fn, in_axes=(None,) + (0,) * len(a))(
                         frozen, *a)
                 return jax.shard_map(
@@ -120,11 +129,16 @@ class InstanceParallelTrainer:
                     s1_loss, has_aux=True)(sub)
                 upd, s = opts[1].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s, albedo), loss
-            (sub, st, albedo), losses = jax.lax.scan(
-                body, (sub, opt_state, albedo0), None, length=self._n1)
+            if self._n1 == 1:  # no scan machinery for single-iteration runs
+                (sub, st, albedo), loss = body((sub, opt_state, albedo0),
+                                               None)
+            else:
+                (sub, st, albedo), losses = jax.lax.scan(
+                    body, (sub, opt_state, albedo0), None, length=self._n1)
+                loss = losses[-1]
             collected = (inv["normal"], inv["light_a"], inv["light_b"],
                          albedo, inv["depth"])
-            return {**rest, **sub}, st, collected, losses[-1]
+            return {**rest, **sub}, st, collected, loss
 
         def step2_one(frozen, params, image, latent, collected, key,
                       opt_state):
@@ -149,9 +163,14 @@ class InstanceParallelTrainer:
                     s2_loss, has_aux=True)(sub, k)
                 upd, s = opts[2].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s, coll2), loss
-            (sub, st, coll2), losses = jax.lax.scan(
-                body, (sub, opt_state, coll20), keys)
-            return {**rest, **sub}, st, coll2, losses[-1]
+            if self._n2 == 1:
+                (sub, st, coll2), loss = body((sub, opt_state, coll20),
+                                              keys[0])
+            else:
+                (sub, st, coll2), losses = jax.lax.scan(
+                    body, (sub, opt_state, coll20), keys)
+                loss = losses[-1]
+            return {**rest, **sub}, st, coll2, loss
 
         def step3_one(frozen, params, image, latent, coll2, opt_state):
             image = image[None]
@@ -167,9 +186,13 @@ class InstanceParallelTrainer:
                 loss, grads = jax.value_and_grad(s3_loss)(sub)
                 upd, s = opts[3].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s), loss
-            (sub, st), losses = jax.lax.scan(body, (sub, opt_state), None,
-                                             length=self._n3)
-            return {**rest, **sub}, st, losses[-1]
+            if self._n3 == 1:
+                (sub, st), loss = body((sub, opt_state), None)
+            else:
+                (sub, st), losses = jax.lax.scan(body, (sub, opt_state),
+                                                 None, length=self._n3)
+                loss = losses[-1]
+            return {**rest, **sub}, st, loss
 
         @partial(jax.jit, static_argnames=("n1",), donate_argnums=(1, 2))
         def run_stage1(frozen, params, opt_state, images, n1):
