@@ -292,11 +292,11 @@ class InstanceParallelTrainer:
         axis = self.mesh.axis_names[0]
         images = jax.device_put(jnp.asarray(images), self._inst)
 
-        def local(params, images):
+        def local(frozen, params, images):
             return jax.vmap(
-                lambda p, im: self.model.evaluate_results(p, self.frozen,
-                                                          im[None]))(
-                params, images)
+                lambda p, im: self.model.evaluate_results(p, frozen,
+                                                          im[None]),
+                in_axes=(0, 0))(params, images)
         return jax.jit(jax.shard_map(
-            local, mesh=self.mesh, in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis), P(axis))))(self.params, images)
+            local, mesh=self.mesh, in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis))))(self.frozen, self.params, images)
