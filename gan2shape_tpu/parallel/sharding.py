@@ -39,10 +39,10 @@ class InstanceParallelTrainer:
     """
 
     def __init__(self, model_config, n_instances, mesh=None, frozen=None,
-                 seed=0):
+                 seed=0, model=None):
         from gan2shape_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
-        self.model = GAN2Shape(model_config)
+        self.model = model if model is not None else GAN2Shape(model_config)
         self.n = n_instances
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_proj_samples = model_config.get("n_proj_samples", 8)

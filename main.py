@@ -127,8 +127,7 @@ def main():
         model = GAN2Shape(config)
         frozen = build_frozen_assets(model, config)
         trainer = InstanceParallelTrainer(config, n_instances=n,
-                                          frozen=frozen)
-        trainer.model = model
+                                          frozen=frozen, model=model)
         pg = PriorGenerator(config.get("image_size"), category,
                             config.get("prior_name", "ellipsoid"))
         ims, lats, prs = [], [], []
