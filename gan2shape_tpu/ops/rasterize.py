@@ -511,7 +511,8 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
     n_fr = h - 1
     zscale = 32000.0 / max(far - near, 1e-6)
 
-    def kernel(vx_ref, vy_ref, vz_ref, cell_ref, par_ref, slotbuf, paya):
+    def kernel(vx_ref, vy_ref, vz_ref, cell_ref, par_ref, slotbuf, paya,
+               smem_row, sem):
         fx = vx_ref[0]
         fy = vy_ref[0]
         fz = vz_ref[0]
@@ -578,77 +579,39 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
             slot = qy | (qx << 9) | (sy << 18) | (sx << 19)
             paya[4] = jnp.where(inb, slot, -1)
 
-            # ---- Phase B: vectorized placement ----
-            # Within one source row and one (sy, sx) half-pixel phase, the
-            # map face-lane -> target-lane is injective (fold collisions
-            # aside) and spans a small, data-dependent set of lane shifts
-            # and target rows.  Faces are deposited whole-rows-at-a-time:
-            # enumerate the (target row, lane shift) buckets with
-            # dynamic-trip fori_loops (empty buckets cost nothing) and align
-            # each bucket with one dynamic-shift `pltpu.roll` + masked merge.
-            # ~20 vector ops per non-empty bucket vs ~100 scalar-unit cycles
-            # per face in a serial placement loop.
-            big = jnp.int32(1 << 20)
-            lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-            zpad = jnp.zeros((1, wp_s - w), jnp.int32)
-
-            def padw(v):
-                return jnp.concatenate([v, zpad], axis=1)
+            # ---- Phase B: serial placement ----
+            # Mosaic has no scalar VMEM access: stage each face row in SMEM
+            # (DMA) for scalar reads, and write each payload word as a
+            # masked full-row read-modify-write at a dynamic sublane offset.
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, wp_s), 1)
 
             def row_body(i, _):
-                s_row = paya[4, pl.ds(i, 1), :]
-                prow = [padw(paya[p, pl.ds(i, 1), :]) for p in range(4)]
-                valid = s_row >= 0
-                qy_r = s_row & 0x1FF
-                qx_r = (s_row >> 9) & 0x1FF
-                sy_r = (s_row >> 18) & 1
-                sx_r = (s_row >> 19) & 1
-                dxo_r = qx_r - lane_w
+                cp = pltpu.make_async_copy(paya.at[:, pl.ds(i, 1), :],
+                                           smem_row, sem)
+                cp.start()
+                cp.wait()
 
-                for sy0 in range(2):
-                    for sx0 in range(2):
-                        m_c = valid & (sy_r == sy0) & (sx_r == sx0)
-                        qy_m = jnp.where(m_c, qy_r, big)
-                        dy_lo = jnp.min(qy_m)
-                        n_dy = jnp.maximum(
-                            jnp.max(jnp.where(m_c, qy_r, -big)) - dy_lo + 1,
-                            0)
-                        dx_m = jnp.where(m_c, dxo_r, big)
-                        dx_lo = jnp.min(dx_m)
-                        n_dx = jnp.maximum(
-                            jnp.max(jnp.where(m_c, dxo_r, -big)) - dx_lo + 1,
-                            0)
+                def col_body(j, _):
+                    s = smem_row[4, 0, j]
 
-                        def dy_body(dyo, _, sy0=sy0, sx0=sx0, m_c=m_c,
-                                    dy_lo=dy_lo, dx_lo=dx_lo, n_dx=n_dx):
-                            target = dy_lo + dyo
-                            row_m = m_c & (qy_r == target)
-                            cur = tuple(
-                                slotbuf[par, sy0, sx0, p,
-                                        pl.ds(target, 1), :]
-                                for p in range(4))
+                    @pl.when(s >= 0)
+                    def _():
+                        qy_s = s & 0x1FF
+                        qx_s = (s >> 9) & 0x1FF
+                        sy_s = (s >> 18) & 1
+                        sx_s = (s >> 19) & 1
+                        hit = lane_ids == qx_s
+                        for p in range(4):
+                            cur = slotbuf[par, sy_s, sx_s, p,
+                                          pl.ds(qy_s, 1), :]
+                            val = jnp.full((1, wp_s), smem_row[p, 0, j],
+                                           jnp.int32)
+                            slotbuf[par, sy_s, sx_s, p,
+                                    pl.ds(qy_s, 1), :] = jnp.where(
+                                hit, val, cur)
+                    return 0
 
-                            def dx_body(dxo, cur):
-                                shift = dx_lo + dxo
-                                sel = row_m & (dxo_r == shift)
-                                shift_m = jnp.where(shift < 0,
-                                                    shift + wp_s, shift)
-                                sel_r = pltpu.roll(
-                                    padw(sel.astype(jnp.int32)), shift_m,
-                                    1) > 0
-                                return tuple(
-                                    jnp.where(sel_r,
-                                              pltpu.roll(prow[p], shift_m,
-                                                         1), cur[p])
-                                    for p in range(4))
-
-                            cur = jax.lax.fori_loop(0, n_dx, dx_body, cur)
-                            for p in range(4):
-                                slotbuf[par, sy0, sx0, p,
-                                        pl.ds(target, 1), :] = cur[p]
-                            return 0
-
-                        jax.lax.fori_loop(0, n_dy, dy_body, 0)
+                jax.lax.fori_loop(0, w - 1, col_body, 0)
                 return 0
 
             jax.lax.fori_loop(0, n_fr, row_body, 0)
@@ -719,6 +682,8 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
         scratch_shapes=[
             pltpu.VMEM((2, 2, 2, 4, hp, wp_s), jnp.int32),
             pltpu.VMEM((5, n_fr, w), jnp.int32),
+            pltpu.SMEM((5, 1, w), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )(jax.lax.stop_gradient(vx), jax.lax.stop_gradient(vy),
       jax.lax.stop_gradient(vz))
