@@ -413,20 +413,24 @@ class GAN2Shape:
         return jax.lax.stop_gradient(
             {"gan_im": gan_im, "center_w": center_w, "center_h": center_h})
 
-    def forward_step2(self, params, frozen, image, latent, collected, key,
-                      n_proj_samples=8, invariants=None):
+    def step2_sample(self, key, collected, n_proj_samples):
+        """Pseudo-sample generation (reference model.py:186-191) — the
+        stop-gradient sampling phase of step 2, separated so the trainer can
+        optionally regenerate the pool every K iterations
+        (`pseudo_pool_every`, a documented deviation, default K=1 ==
+        reference behavior)."""
         collected = jax.lax.stop_gradient(collected)
         normal, light_a, light_b, albedo, depth = collected
-
         pseudo_im, mask = self.sample_pseudo_imgs(
             key, n_proj_samples, normal, light_a, light_b, albedo, depth)
-        pseudo_im = jax.lax.stop_gradient(pseudo_im)
-        mask = jax.lax.stop_gradient(mask)
+        return (jax.lax.stop_gradient(pseudo_im),
+                jax.lax.stop_gradient(mask))
 
+    def step2_loss(self, params, frozen, latent, pseudo_im, mask,
+                   invariants):
+        """GAN-inversion loss phase of step 2 (reference model.py:193-223)."""
         gen_p = frozen["generator"]
         mean_latent = frozen.get("mean_latent")
-        if invariants is None:
-            invariants = self.step2_invariants(frozen, latent)
         gan_im = invariants["gan_im"]
         center_w = invariants["center_w"]
         center_h = invariants["center_h"]
@@ -455,6 +459,14 @@ class GAN2Shape:
         collected = (jax.lax.stop_gradient(projected_image),
                      jax.lax.stop_gradient(mask))
         return loss, collected
+
+    def forward_step2(self, params, frozen, image, latent, collected, key,
+                      n_proj_samples=8, invariants=None):
+        pseudo_im, mask = self.step2_sample(key, collected, n_proj_samples)
+        if invariants is None:
+            invariants = self.step2_invariants(frozen, latent)
+        return self.step2_loss(params, frozen, latent, pseudo_im, mask,
+                               invariants)
 
     # ---------------- step 3 (reference model.py:225-280) ----------------
 

@@ -150,6 +150,12 @@ class Trainer:
                          albedo, inv["depth"])
             return {**rest, **sub}, s, collected, losses
 
+        # pseudo_pool_every = K > 1 regenerates the pseudo-sample pool only
+        # every K step-2 iterations (documented deviation, PARITY.md; K=1 =
+        # reference behavior: fresh samples every iteration,
+        # reference model.py:186-191)
+        pool_every = int(self.config.get("pseudo_pool_every", 1))
+
         @partial(jax.jit,
                  static_argnames=("n_iters", "n_proj"),
                  donate_argnums=(0, 1))
@@ -160,25 +166,34 @@ class Trainer:
             # GAN re-synthesis + mapping anchors are constant over the block
             inv2 = model.step2_invariants(frozen, latent)
 
-            def loss_fn(sub, k):
-                return model.forward_step2(
-                    {**rest, **sub}, frozen, image, latent, collected,
-                    k, n_proj_samples=n_proj, invariants=inv2)
+            def loss_fn(sub, pseudo_im, mask):
+                return model.step2_loss({**rest, **sub}, frozen, latent,
+                                        pseudo_im, mask, inv2)
 
             keys = jax.random.split(key, n_iters)
-            coll_shapes = jax.eval_shape(loss_fn, sub, keys[0])[1]
+            pool0 = model.step2_sample(keys[0], collected, n_proj)
+            coll_shapes = jax.eval_shape(loss_fn, sub, *pool0)[1]
             coll0 = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), coll_shapes)
 
-            def body(carry, k):
-                sub, s, _ = carry
+            def body(carry, inp):
+                sub, s, pool, _ = carry
+                k, i = inp
+                if pool_every == 1:
+                    pool = model.step2_sample(k, collected, n_proj)
+                else:
+                    pool = jax.lax.cond(
+                        i % pool_every == 0,
+                        lambda: model.step2_sample(k, collected, n_proj),
+                        lambda: pool)
                 (loss, coll2), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(sub, k)
+                    loss_fn, has_aux=True)(sub, *pool)
                 updates, s = opt2.update(grads, s, sub)
-                return (optax.apply_updates(sub, updates), s, coll2), loss
-            (sub, s, coll2), losses = jax.lax.scan(body,
-                                                   (sub, opt_state, coll0),
-                                                   keys)
+                return (optax.apply_updates(sub, updates), s, pool,
+                        coll2), loss
+            (sub, s, _, coll2), losses = jax.lax.scan(
+                body, (sub, opt_state, pool0, coll0),
+                (keys, jnp.arange(n_iters)))
             return {**rest, **sub}, s, coll2, losses
 
         @partial(jax.jit, static_argnames=("n_iters",), donate_argnums=(0, 1))
@@ -387,10 +402,17 @@ class GeneralizingTrainer(Trainer):
                                         lats[bi:bi + 1], coll2,
                                         n_iters=stages[0]["step3"])
                     total_it += stages[0]["step2"] + stages[0]["step3"]
-            history.append({"epoch": epoch,
-                            "loss_step1": float(l1[-1]),
-                            "loss_step2": float(l2[-1]),
-                            "loss_step3": float(l3[-1])})
+                # per-batch record (the reference logs per-step losses,
+                # trainer.py:460-465; one record per batch with the final
+                # iteration's losses keeps the same observability without
+                # a host sync per device step)
+                rec = {"epoch": epoch, "batch_start": start,
+                       "total_it": total_it,
+                       "loss_step1": float(l1[-1]),
+                       "loss_step2": float(l2[-1]),
+                       "loss_step3": float(l3[-1])}
+                history.append(rec)
+                self._log_wandb(rec)
             log.info("epoch %d: %.4f/%.4f/%.4f", epoch, float(l1[-1]),
                      float(l2[-1]), float(l3[-1]))
             if epoch % 20 == 0 and self.save_ckpts:

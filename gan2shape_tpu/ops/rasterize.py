@@ -690,9 +690,271 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
     return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
 
 
+def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
+    """Fully-vectorized Pallas rasterizer winner pass (no serial Phase B).
+
+    Same contract as `_raster_mega_pallas` (cell f32, parity f32, covered),
+    but placement is a banded two-stage permutation instead of a serial
+    per-face loop:
+
+      Phase A (vector): per-face payloads as (n_fr, w) planes — relative
+          fixed-point vertex coords (4 packed words), plus an aux word
+          packing (qy | sy | dqx | sx) of the face's half-pixel slot.
+      Stage 1 (vector, data-bounded loop over row shifts dy): faces move
+          from source row i to slot row qy = i + dy.  Each pass is one
+          dynamic-sublane-offset slice of the padded source planes, masked
+          by (qy - i == dy) & (sy == phase), merged by MIN packed
+          (zq | cell) — so slot collisions keep the NEAREST face (the
+          serial kernel kept an arbitrary one).
+      Stage 2 (vector, data-bounded loop over column shifts dx): entries
+          move from source column j to slot column qx = j + dx via
+          `pltpu.roll` (dynamic lane shift), masked by (dqx == dx) & no
+          wrap & (sx == phase), min-merged into the Phase C slot buffer.
+      Phase C: identical candidate tests to `_raster_mega_pallas`.
+
+    Cost is O((dy_range + dx_range) * plane_ops) — a few hundred vector
+    passes worst-case vs 2*(h-1)*(w-1) serial ~100-cycle placements; the
+    shift ranges are computed from the data (min/max displacement), so
+    smooth training warps pay only for the shifts they actually use.
+    Faces displaced more than DY_CAP rows are dropped (beyond any
+    training-scale warp; consistent with the window-overflow contract).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = vx.shape[0]
+    pad = window + 1
+    hp, wp = h + 2 * pad, w + 2 * pad
+    wp_s = -(-wp // 128) * 128
+    n_fr = h - 1
+    zscale = 32000.0 / max(far - near, 1e-6)
+    SENT = 0x7FFFFFFF  # python int: must not be captured as a traced const
+    # |dy| row-displacement cap (static): faces moving further are dropped
+    # (translation range 0.1 units ~ 73 px at 128^2 stays well inside)
+    DY_CAP = 96
+    # padded source rows: slice start = DY_CAP - dy in [0, 2*DY_CAP], each
+    # slice reads hp rows
+    src_rows = 2 * DY_CAP + hp
+
+    def kernel(vx_ref, vy_ref, vz_ref, cell_ref, par_ref, slotbuf, src,
+               acc1):
+        fx = vx_ref[0]
+        fy = vy_ref[0]
+        fz = vz_ref[0]
+
+        # invalidate the slot buffer: p3 = SENT (zq max, cell -1)
+        for par in range(2):
+            for sy in range(2):
+                for sx in range(2):
+                    slotbuf[par, sy, sx, 3] = jnp.full((hp, wp_s),
+                                                       SENT, jnp.int32)
+
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (n_fr, w), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (n_fr, w), 0)
+        valid_col = lane_j < (w - 1)
+
+        def shifted(v):  # v[:, j+1] with the last lane garbage (masked)
+            return pltpu.roll(v, w - 1, 1)  # circular left-by-1
+
+        tgt_row = jax.lax.broadcasted_iota(jnp.int32, (hp, w), 0)
+        lane_256 = jax.lax.broadcasted_iota(jnp.int32, (hp, wp_s), 1)
+
+        for par in range(2):
+            # ---- Phase A: payload planes ----
+            top = (fx[:-1, :], fy[:-1, :], fz[:-1, :])
+            bot = (fx[1:, :], fy[1:, :], fz[1:, :])
+            tl = top
+            bl = bot
+            tr = tuple(shifted(v) for v in top)
+            br = tuple(shifted(v) for v in bot)
+            if par == 0:
+                v0, v1, v2 = tl, bl, tr
+            else:
+                v0, v1, v2 = tr, bl, br
+            x0, y0, z0 = v0
+            x1, y1, z1 = v1
+            x2, y2, z2 = v2
+
+            min_x = jnp.minimum(jnp.minimum(x0, x1), x2)
+            min_y = jnp.minimum(jnp.minimum(y0, y1), y2)
+            bx2 = jnp.floor(2.0 * min_x).astype(jnp.int32)
+            by2 = jnp.floor(2.0 * min_y).astype(jnp.int32)
+            inb = ((bx2 >= -2 * pad) & (bx2 < 2 * (wp - pad))
+                   & (by2 >= -2 * pad) & (by2 < 2 * (hp - pad)) & valid_col)
+            s_x = jnp.clip(bx2 + 2 * pad, 0, 2 * wp - 1)
+            s_y = jnp.clip(by2 + 2 * pad, 0, 2 * hp - 1)
+            qy, sy = s_y >> 1, s_y & 1
+            qx, sx = s_x >> 1, s_x & 1
+            ax = (qx - pad).astype(jnp.float32)
+            ay = (qy - pad).astype(jnp.float32)
+
+            def fx16(v, anchor):
+                q = jnp.clip(jnp.round((v - anchor) * 256.0), -32767.0,
+                             32767.0)
+                return q.astype(jnp.int32)
+
+            def pack(hi, lo):
+                return (hi << 16) | (lo & 0xFFFF)
+
+            zmean = (z0 + z1 + z2) * (1.0 / 3.0)
+            zq = jnp.clip(jnp.round((zmean - near) * zscale), 0.0,
+                          32767.0).astype(jnp.int32)
+            cell = row_i * (w - 1) + lane_j
+            dy_f = jnp.clip(qy - row_i, -DY_CAP, DY_CAP)
+            dqx = qx - lane_j  # in [-(w-1), wp)
+            # aux: qy (9b) | sy (1b) | dqx+256 (10b) | sx (1b)
+            aux = qy | (sy << 9) | ((dqx + 256) << 10) | (sx << 20)
+
+            planes = (pack(fx16(y0, ay), fx16(x0, ax)),
+                      pack(fx16(y1, ay), fx16(x1, ax)),
+                      pack(fx16(y2, ay), fx16(x2, ax)),
+                      jnp.where(inb, pack(zq, cell), SENT),
+                      jnp.where(inb, aux, -1))
+            for p, plane in enumerate(planes):
+                src[p, DY_CAP:DY_CAP + n_fr, :] = plane
+                if p >= 3:  # only the mask/key planes need valid padding
+                    fill = SENT if p == 3 else -1
+                    src[p, 0:DY_CAP, :] = jnp.full((DY_CAP, w), fill,
+                                                   jnp.int32)
+                    src[p, DY_CAP + n_fr:src_rows, :] = jnp.full(
+                        (src_rows - DY_CAP - n_fr, w), fill, jnp.int32)
+
+            dy_valid = jnp.where(inb, dy_f, 0)
+            dy_lo = jnp.min(dy_valid)
+            dy_hi = jnp.max(dy_valid)
+            dqx_valid = jnp.where(inb, dqx, 0)
+            dx_lo = jnp.min(dqx_valid)
+            dx_hi = jnp.max(dqx_valid)
+
+            # ---- Stage 1: row placement (source row -> slot row) ----
+            for syp in range(2):
+                acc1[syp, 3] = jnp.full((hp, wp_s), SENT, jnp.int32)
+                acc1[syp, 4] = jnp.full((hp, wp_s), -1, jnp.int32)
+
+            def dy_body(dy, _):
+                start = DY_CAP - dy
+                sl = [src[p, pl.ds(start, hp), :] for p in range(5)]
+                auxs = sl[4]
+                qy_s = auxs & 0x1FF
+                sy_s = (auxs >> 9) & 1
+                m_row = (auxs >= 0) & (qy_s == tgt_row)
+                for syp in range(2):
+                    m = m_row & (sy_s == syp)
+                    # min-merge on packed (zq | cell): better  =>  m holds
+                    cand3 = jnp.where(m, sl[3], SENT)
+                    better = cand3 < acc1[syp, 3, :, 0:w]
+                    for p in range(5):
+                        acc1[syp, p, :, 0:w] = jnp.where(
+                            better, sl[p], acc1[syp, p, :, 0:w])
+                return 0
+
+            jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, 0)
+
+            # ---- Stage 2: column placement (source col -> slot col) ----
+            def dx_body(dx, _):
+                shift = jnp.remainder(dx, wp_s)
+                src_j = lane_256 - dx
+                no_wrap = (src_j >= 0) & (src_j < w)
+                for syp in range(2):
+                    rolled = [pltpu.roll(acc1[syp, p], shift, 1)
+                              for p in range(5)]
+                    auxr = rolled[4]
+                    dqx_r = ((auxr >> 10) & 0x3FF) - 256
+                    sx_r = (auxr >> 20) & 1
+                    m_col = (auxr >= 0) & (dqx_r == dx) & no_wrap
+                    for sxp in range(2):
+                        m = m_col & (sx_r == sxp)
+                        cand3 = jnp.where(m, rolled[3], SENT)
+                        better = cand3 < slotbuf[par, syp, sxp, 3]
+                        for p in range(4):
+                            slotbuf[par, syp, sxp, p] = jnp.where(
+                                better, rolled[p],
+                                slotbuf[par, syp, sxp, p])
+                return 0
+
+            jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, 0)
+
+        # ---- Phase C: candidate tests (identical to the serial kernel) ----
+        def lo16(v):
+            return jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(v, 16), 16).astype(jnp.float32)
+
+        def hi16(v):
+            return jax.lax.shift_right_arithmetic(v, 16).astype(jnp.float32)
+
+        best_zq = jnp.full((h, w), 1e9, jnp.float32)
+        best_cell = jnp.full((h, w), -1.0, jnp.float32)
+        best_par = jnp.zeros((h, w), jnp.float32)
+        for par in range(2):
+            for oy in range(window):
+                for sy in range(2):
+                    for ox in range(window):
+                        for sx in range(2):
+                            def sl(p):
+                                return slotbuf[par, sy, sx, p,
+                                               pad - oy:pad - oy + h,
+                                               pad - ox:pad - ox + w]
+                            p0, p1, p2, p3 = sl(0), sl(1), sl(2), sl(3)
+                            dx0, dy0 = lo16(p0), hi16(p0)
+                            dx1, dy1 = lo16(p1), hi16(p1)
+                            dx2, dy2 = lo16(p2), hi16(p2)
+                            cellv = jax.lax.shift_right_arithmetic(
+                                jax.lax.shift_left(p3, 16), 16
+                            ).astype(jnp.float32)
+                            zqv = hi16(p3)
+                            px2 = 256.0 * ox - dx2
+                            py2 = 256.0 * oy - dy2
+                            denom = (dy1 - dy2) * (dx0 - dx2) \
+                                + (dx2 - dx1) * (dy0 - dy2)
+                            safe = jnp.where(jnp.abs(denom) > 0.5, denom,
+                                             1.0)
+                            l0 = ((dy1 - dy2) * px2
+                                  + (dx2 - dx1) * py2) / safe
+                            l1 = ((dy2 - dy0) * px2
+                                  + (dx0 - dx2) * py2) / safe
+                            l2 = 1.0 - l0 - l1
+                            eps = -1e-5
+                            inside = ((l0 >= eps) & (l1 >= eps)
+                                      & (l2 >= eps)
+                                      & (jnp.abs(denom) > 0.5)
+                                      & (cellv >= 0))
+                            better = inside & (zqv < best_zq)
+                            best_zq = jnp.where(better, zqv, best_zq)
+                            best_cell = jnp.where(better, cellv, best_cell)
+                            best_par = jnp.where(better, float(par),
+                                                 best_par)
+        cell_ref[0] = best_cell.astype(jnp.int32)
+        par_ref[0] = best_par.astype(jnp.int32)
+
+    spec_v = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cell, par = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_v, spec_v, spec_v],
+        out_specs=(spec_out, spec_out),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, 4, hp, wp_s), jnp.int32),
+            pltpu.VMEM((5, src_rows, w), jnp.int32),
+            pltpu.VMEM((2, 5, hp, wp_s), jnp.int32),
+        ],
+    )(jax.lax.stop_gradient(vx), jax.lax.stop_gradient(vy),
+      jax.lax.stop_gradient(vz))
+    return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
+
+
 def _mega_pallas_ok(h, w, window):
     import jax
     if jax.devices()[0].platform != "tpu":
+        return False
+    if w % 128 != 0:
+        # the Phase-B SMEM staging DMA slices the payload scratch along
+        # lanes; Mosaic requires that slice 128-aligned (the 64-px path
+        # falls back to the buffer-slab winner kernel)
         return False
     pad = window + 1
     wp_s = -(-(w + 2 * pad) // 128) * 128

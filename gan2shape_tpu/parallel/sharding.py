@@ -114,7 +114,10 @@ class InstanceParallelTrainer:
                     out_specs=(P(axis),) * n_out)(frozen, *args)
             return wrapper
 
-        def step1_one(frozen, params, image, opt_state):
+        # The per-step iteration counts are bound as leading Python ints via
+        # functools.partial (each n retraces under its static jit arg) —
+        # never smuggled through instance attributes at trace time.
+        def step1_one(n1, frozen, params, image, opt_state):
             image = image[None]
             sub, rest = _split(params, STEP_SUBSETS[1])
             inv = model.step1_invariants(params, frozen, image)
@@ -129,18 +132,18 @@ class InstanceParallelTrainer:
                     s1_loss, has_aux=True)(sub)
                 upd, s = opts[1].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s, albedo), loss
-            if self._n1 == 1:  # no scan machinery for single-iteration runs
+            if n1 == 1:  # no scan machinery for single-iteration runs
                 (sub, st, albedo), loss = body((sub, opt_state, albedo0),
                                                None)
             else:
                 (sub, st, albedo), losses = jax.lax.scan(
-                    body, (sub, opt_state, albedo0), None, length=self._n1)
+                    body, (sub, opt_state, albedo0), None, length=n1)
                 loss = losses[-1]
             collected = (inv["normal"], inv["light_a"], inv["light_b"],
                          albedo, inv["depth"])
             return {**rest, **sub}, st, collected, loss
 
-        def step2_one(frozen, params, image, latent, collected, key,
+        def step2_one(n2, frozen, params, image, latent, collected, key,
                       opt_state):
             image = image[None]
             latent = latent[None]
@@ -152,7 +155,7 @@ class InstanceParallelTrainer:
                                            image, latent, collected, k,
                                            n_proj_samples=n_proj,
                                            invariants=inv2)
-            keys = jax.random.split(key, self._n2)
+            keys = jax.random.split(key, n2)
             coll20 = jax.tree.map(
                 lambda sd: pvary(jnp.zeros(sd.shape, sd.dtype)),
                 jax.eval_shape(s2_loss, sub, keys[0])[1])
@@ -163,7 +166,7 @@ class InstanceParallelTrainer:
                     s2_loss, has_aux=True)(sub, k)
                 upd, s = opts[2].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s, coll2), loss
-            if self._n2 == 1:
+            if n2 == 1:
                 (sub, st, coll2), loss = body((sub, opt_state, coll20),
                                               keys[0])
             else:
@@ -172,7 +175,7 @@ class InstanceParallelTrainer:
                 loss = losses[-1]
             return {**rest, **sub}, st, coll2, loss
 
-        def step3_one(frozen, params, image, latent, coll2, opt_state):
+        def step3_one(n3, frozen, params, image, latent, coll2, opt_state):
             image = image[None]
             latent = latent[None]
             sub, rest = _split(params, STEP_SUBSETS[3])
@@ -186,33 +189,30 @@ class InstanceParallelTrainer:
                 loss, grads = jax.value_and_grad(s3_loss)(sub)
                 upd, s = opts[3].update(grads, s, sub)
                 return (optax.apply_updates(sub, upd), s), loss
-            if self._n3 == 1:
+            if n3 == 1:
                 (sub, st), loss = body((sub, opt_state), None)
             else:
                 (sub, st), losses = jax.lax.scan(body, (sub, opt_state),
-                                                 None, length=self._n3)
+                                                 None, length=n3)
                 loss = losses[-1]
             return {**rest, **sub}, st, loss
 
         @partial(jax.jit, static_argnames=("n1",), donate_argnums=(1, 2))
         def run_stage1(frozen, params, opt_state, images, n1):
-            self._n1 = n1
-            return sharded(step1_one, 3, 4)(frozen, params, images,
-                                            opt_state)
+            return sharded(partial(step1_one, n1), 3, 4)(
+                frozen, params, images, opt_state)
 
         @partial(jax.jit, static_argnames=("n2",), donate_argnums=(1, 2))
         def run_stage2(frozen, params, opt_state, images, latents, collected,
                        keys, n2):
-            self._n2 = n2
-            return sharded(step2_one, 6, 4)(frozen, params, images, latents,
-                                            collected, keys, opt_state)
+            return sharded(partial(step2_one, n2), 6, 4)(
+                frozen, params, images, latents, collected, keys, opt_state)
 
         @partial(jax.jit, static_argnames=("n3",), donate_argnums=(1, 2))
         def run_stage3(frozen, params, opt_state, images, latents, coll2,
                        n3):
-            self._n3 = n3
-            return sharded(step3_one, 5, 3)(frozen, params, images, latents,
-                                            coll2, opt_state)
+            return sharded(partial(step3_one, n3), 5, 3)(
+                frozen, params, images, latents, coll2, opt_state)
 
         self._run_stage1 = run_stage1
         self._run_stage2 = run_stage2

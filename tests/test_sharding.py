@@ -64,3 +64,30 @@ def test_instance_parallel_stage():
 
     recon_im, recon_depth = trainer.evaluate(images)
     assert recon_im.shape == (n, 1, 3, 64, 64)
+
+
+@pytest.mark.slow
+def test_instance_parallel_multiple_per_device():
+    """16 instances on the 8-device mesh drives the n_per_dev=2 vmap branch
+    of sharded() (previously only the squeeze branch ever executed)."""
+    n = 16
+    s = 32
+    cfg = dict(CFG, image_size=s, gan_size=s)
+    mesh = make_mesh()
+    trainer = InstanceParallelTrainer(cfg, n_instances=n, mesh=mesh)
+    rng = np.random.default_rng(1)
+    images = rng.uniform(-1, 1, (n, 3, s, s)).astype(np.float32)
+    latents = rng.standard_normal((n, 512)).astype(np.float32)
+    priors = np.full((n, s, s), 1.0, np.float32)
+
+    history = trainer.fit(images, latents, priors,
+                          stages=[{"step1": 1, "step2": 1, "step3": 1}])
+    assert np.isfinite(history[0]["loss_step1"])
+    assert np.isfinite(history[0]["loss_step2"])
+    assert np.isfinite(history[0]["loss_step3"])
+    leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+    assert leaf.shape[0] == n
+    assert len(leaf.sharding.device_set) == 8
+    depths = np.asarray(
+        jax.tree_util.tree_leaves(trainer.params["depth"])[0])
+    assert not np.allclose(depths[0], depths[1])

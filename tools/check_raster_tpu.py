@@ -1,0 +1,159 @@
+"""TPU-gated numerical check of the Pallas rasterizer kernels.
+
+Compares, on the real TPU:
+  * `_raster_mega_pallas` (the fully-fused hot-path kernel) and
+  * `_dense_winner_pallas` (the buffer-slab winner kernel)
+against `_dense_winner_xla` on IDENTICAL inputs, plus the end-to-end
+mode='grid' depth against the exact segment-min z-buffer ('scatter').
+Writes RASTER_CHECK.json at the repo root and exits nonzero on failure.
+
+Oracle chain: scatter z-buffer is validated against geometry
+(tests/test_renderer.py); the grid XLA fallback is validated against scatter
+(tests/test_rasterize_grid.py, CPU); this script closes the chain for the
+TPU kernels.  Run from bench.py (before timing) or standalone:
+
+    python tools/check_raster_tpu.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+MIN_WINNER_AGREE = 0.999   # kernel-vs-XLA on identical buffers: near-exact
+MIN_DEPTH_AGREE = 0.985    # end-to-end grid-vs-scatter (quantization edges)
+
+
+def _training_depth(rng, s):
+    """Training-regime depth: ellipsoid-prior-shaped + smooth residue (the
+    depth net is prior-pretrained before any rasterization happens, and
+    subsequent updates are smoothness-regularized).  Synthetic white-noise
+    depth at 128² has per-cell slopes outside anything training produces
+    and z-folds the warp everywhere — see tests/test_rasterize_grid.py."""
+    from scipy.ndimage import gaussian_filter
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    r2 = ((yy - s / 2) ** 2 + (xx - s / 2) ** 2) / (0.45 * s) ** 2
+    ell = np.where(r2 < 1, 1.02 - 0.11 * np.sqrt(np.clip(1 - r2, 0, 1)),
+                   1.02)
+    noise = gaussian_filter(rng.uniform(-1, 1, (s, s)).astype(np.float32),
+                            3.0)
+    return np.clip(ell + 0.03 * noise, 0.9, 1.1).astype(np.float32)
+
+
+def _training_views(rng, b):
+    """MVN-scale poses (std 0.2 per component, the reference sampler's
+    scale) through the model's view scaling (±60 deg rotations, ±0.1
+    translations — model.py get_view_transformation)."""
+    v = (0.2 * rng.standard_normal((b, 6))).astype(np.float32)
+    return np.concatenate([v[:, :3] * np.pi / 180 * 60, v[:, 3:5] * 0.1,
+                           v[:, 5:] * 0.1], 1).astype(np.float32)
+
+
+def run_checks(sizes=(64, 128), batch=4, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from gan2shape_tpu.ops import rasterize as R
+    from gan2shape_tpu.rendering.renderer import (
+        Renderer, get_transform_matrices)
+
+    if jax.devices()[0].platform != "tpu":
+        return {"ok": True, "skipped": True,
+                "reason": f"platform={jax.devices()[0].platform}"}
+
+    rng = np.random.default_rng(seed)
+    results = {"ok": True, "skipped": False, "checks": []}
+
+    def guarded(name, fn):
+        try:
+            fn()
+        except Exception as e:  # record, keep checking the rest
+            results["checks"].append(
+                {"check": name, "pass": False,
+                 "error": f"{type(e).__name__}: {e}"[:500]})
+
+    for s in sizes:
+        r = Renderer({"rot_center_depth": 1.0, "fov": 10}, s, 0.9, 1.1)
+        depth0 = _training_depth(rng, s)
+        depth = jnp.asarray(np.broadcast_to(depth0, (batch, s, s))
+                            .astype(np.float32))
+        views = _training_views(rng, batch)
+        rot, trans = get_transform_matrices(jnp.asarray(views))
+        pts = r.get_warped_3d_grid(depth, rot, trans).reshape(batch, -1, 3)
+        xs, ys, zs = r._project_screen(pts)
+        window = 3
+        near = r.min_depth - r.margin
+        far = r.max_depth + r.margin
+
+        vx = xs.reshape(batch, s, s)
+        vy = ys.reshape(batch, s, s)
+        vz = zs.reshape(batch, s, s)
+
+        # 1. winner kernels vs XLA winner pass on identical buffers
+        buf0, buf1 = R._build_winner_buffers(vx, vy, vz, s, s, window,
+                                             near, far)
+        cell_x, par_x, cov_x = (np.asarray(v) for v in R._dense_winner_xla(
+            buf0, buf1, s, s, window))
+
+        def check_winner_pallas():
+            if not R._winner_pallas_ok(s, s, window):
+                return
+            cell_p, par_p, cov_p = (np.asarray(v)
+                                    for v in R._dense_winner_pallas(
+                                        buf0, buf1, s, s, window))
+            agree = float(((cell_p == cell_x) & (par_p == par_x)
+                           & (cov_p == cov_x)).mean())
+            results["checks"].append(
+                {"check": f"dense_winner_pallas_vs_xla_s{s}",
+                 "agreement": agree, "min": MIN_WINNER_AGREE,
+                 "pass": agree >= MIN_WINNER_AGREE})
+
+        def check_mega_pallas():
+            if not R._mega_pallas_ok(s, s, window):
+                return
+            cell_m, par_m, cov_m = (np.asarray(v)
+                                    for v in R._raster_mega_pallas(
+                                        vx, vy, vz, s, s, window, near, far))
+            agree = float(((cell_m == cell_x) & (par_m == par_x)
+                           & (cov_m == cov_x)).mean())
+            results["checks"].append(
+                {"check": f"raster_mega_pallas_vs_xla_s{s}",
+                 "agreement": agree, "min": MIN_WINNER_AGREE,
+                 "pass": agree >= MIN_WINNER_AGREE})
+
+        def check_grid_depth():
+            # end-to-end grid depth vs exact scatter z-buffer
+            d_grid = np.asarray(r.warp_canon_depth(depth, rot, trans,
+                                                   raster_mode="grid"))
+            d_exact = np.asarray(r.warp_canon_depth(depth, rot, trans,
+                                                    raster_mode="scatter"))
+            agree = float(np.isclose(d_grid, d_exact, atol=2e-3).mean())
+            results["checks"].append(
+                {"check": f"grid_depth_vs_scatter_s{s}",
+                 "agreement": agree, "min": MIN_DEPTH_AGREE,
+                 "pass": agree >= MIN_DEPTH_AGREE})
+
+        guarded(f"dense_winner_pallas_vs_xla_s{s}", check_winner_pallas)
+        guarded(f"raster_mega_pallas_vs_xla_s{s}", check_mega_pallas)
+        guarded(f"grid_depth_vs_scatter_s{s}", check_grid_depth)
+
+    results["ok"] = all(c["pass"] for c in results["checks"])
+    return results
+
+
+def main():
+    results = run_checks()
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "RASTER_CHECK.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1), file=sys.stderr)
+    sys.exit(0 if results["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
