@@ -20,7 +20,10 @@ log = logging.getLogger(__name__)
 def _np(t):
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
+    # always COPY: torch `.numpy()` shares the tensor's buffer, so without
+    # a copy the converted weights would silently track later in-place
+    # mutation of the torch module (e.g. its optimizer steps)
+    return np.array(t, np.float32, copy=True)
 
 
 def load_torch_file(path):

@@ -1011,26 +1011,32 @@ def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
     par = sg(par)
     covered = sg(covered)
 
-    # winner cell -> vertex flat ids; upper tri = (tl, bl, tr),
-    # lower = (tr, bl, br) (grid_faces order)
-    ci = (cell / (w - 1)).astype(jnp.int32)
+    # winner cell -> its 2x2 corner block, fetched as ONE windowed gather of
+    # the packed (x, y, z) fields: per-element gathers cost ~17 ns/index on
+    # TPU (3 separate vertex gathers measured 36 ms/iter at b=16); a single
+    # gather with slice_sizes (2, 2, 3) moves the whole corner block per
+    # index, cutting the index count 9x.
     ci = jnp.clip(cell.astype(jnp.int32) // (w - 1), 0, h - 2)
     cj = jnp.clip(cell.astype(jnp.int32) - ci * (w - 1), 0, w - 2)
-    tl = ci * w + cj
-    bl = tl + w
-    tr = tl + 1
-    br = bl + 1
-    is_up = par < 0.5
-    v0 = jnp.where(is_up, tl, tr)
-    v1 = bl
-    v2 = jnp.where(is_up, tr, br)
-    tri = jnp.stack([v0, v1, v2], -1).reshape(b, h * w, 3)
+    starts = jnp.stack([ci.reshape(b, h * w), cj.reshape(b, h * w)], -1)
 
-    def gather(v):
-        return jnp.take_along_axis(v.reshape(b, h * w)[:, :, None],
-                                   tri, axis=1)
+    from gan2shape_tpu.ops.gather_window import gather_window2x2
 
-    tx, ty, tz = gather(vx), gather(vy), gather(vz)
+    allv = jnp.stack([vx, vy, vz], -1)  # (B, H, W, 3)
+    patch = gather_window2x2(allv, starts)  # (B, P, 2, 2, 3)
+    p_tl = patch[:, :, 0, 0]
+    p_bl = patch[:, :, 1, 0]
+    p_tr = patch[:, :, 0, 1]
+    p_br = patch[:, :, 1, 1]
+    # upper tri = (tl, bl, tr), lower = (tr, bl, br) (grid_faces order)
+    is_up = (par < 0.5).reshape(b, h * w, 1)
+    pv0 = jnp.where(is_up, p_tl, p_tr)
+    pv1 = p_bl
+    pv2 = jnp.where(is_up, p_tr, p_br)
+    tri_v = jnp.stack([pv0, pv1, pv2], 2)  # (B, P, 3verts, 3coords)
+    tx = tri_v[..., 0]
+    ty = tri_v[..., 1]
+    tz = tri_v[..., 2]
     gy, gx = jnp.meshgrid(jnp.arange(h, dtype=dtype),
                           jnp.arange(w, dtype=dtype), indexing="ij")
     px = jnp.broadcast_to(gx.reshape(1, -1), (b, h * w))

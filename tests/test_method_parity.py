@@ -1,0 +1,416 @@
+"""METHOD-LEVEL trajectory parity vs the reference PyTorch implementation.
+
+Module goldens (test_parity_torch.py) pin each net; this pins the COMPOSED
+method: N iterations of the step-1 (albedo) and step-3 (joint) Adam loops,
+run side by side in the reference implementation (on CPU) and in this
+framework with converted weights, asserting the loss trajectories track and
+the final depth maps agree (the BASELINE.md depth-MAD fidelity metric).
+
+Bridging notes (documented deviations of the harness, not the framework):
+  * the reference hard-requires CUDA and the external CUDA `neural_renderer`
+    — both absent here.  `.cuda()` is monkeypatched to identity and
+    `neural_renderer` is replaced by a pure-torch differentiable z-buffer
+    implementing the same math as ops/rasterize.py's exact 'scatter' mode
+    (packed min z-buffer + perspective-correct barycentric interpolation),
+    so the rasterizer itself is *common* to both sides; its own correctness
+    is covered by tests/test_renderer.py and tests/test_rasterize_grid.py.
+  * torchvision's VGG16 is instantiated randomly (no weight download here)
+    and the SAME random VGG is converted for our LPIPS.
+  * step 2 cannot be trajectory-matched (its pseudo-sample randomness is
+    internal: torch global RNG vs JAX keys — SURVEY.md §7 'Randomness');
+    its pieces are covered by module goldens.
+
+Reference call sites mirrored: trainer.py:99-108 (per-step Adam loops),
+model.py:95-173 (step1), model.py:225-280 (step3).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+DEPTH_BITS = 14
+FACE_BITS = 17
+_SENT = 2 ** 31 - 1
+
+
+def _torch_render_depth(vertices, faces, K, h, w, near, far, window=5):
+    """Differentiable torch z-buffer over projected grid-mesh vertices —
+    the same winner-pass + interpolation math as ops/rasterize.py
+    ('scatter' mode), so both frameworks rasterize identically."""
+    b, n, _ = vertices.shape
+    proj = vertices @ K.T
+    z = proj[..., 2].clamp(min=1e-6)
+    xs = proj[..., 0] / z
+    ys = proj[..., 1] / z
+    zs = vertices[..., 2]
+
+    f = faces.shape[0]
+    with torch.no_grad():
+        fx = xs[:, faces]  # (B, F, 3)
+        fy = ys[:, faces]
+        fz = zs[:, faces]
+        bx = torch.floor(fx.min(-1).values).int()
+        by = torch.floor(fy.min(-1).values).int()
+        depth_scale = (2 ** DEPTH_BITS - 1) / (far - near)
+        face_ids = torch.arange(f, dtype=torch.int32)[None].expand(b, f)
+        buf = torch.full((b * h * w,), _SENT, dtype=torch.int64)
+        for oy in range(window):
+            for ox in range(window):
+                px_i = bx + ox
+                py_i = by + oy
+                px = px_i.float()
+                py = py_i.float()
+                x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
+                y0, y1, y2 = fy[..., 0], fy[..., 1], fy[..., 2]
+                denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+                safe = torch.where(denom.abs() > 1e-12, denom,
+                                   torch.ones_like(denom))
+                l0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) / safe
+                l1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) / safe
+                l2 = 1.0 - l0 - l1
+                eps = -1e-5
+                zf = 1.0 / (l0 / fz[..., 0] + l1 / fz[..., 1]
+                            + l2 / fz[..., 2]).clamp(min=1e-12)
+                ok = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
+                      & (denom.abs() > 1e-12) & (zf > 0)
+                      & (px_i >= 0) & (px_i < w) & (py_i >= 0) & (py_i < h))
+                zq = ((zf - near) * depth_scale).clamp(0, 2 ** DEPTH_BITS - 1)
+                packed = (zq.long() << FACE_BITS) | face_ids.long()
+                packed = torch.where(ok, packed,
+                                     torch.full_like(packed, _SENT))
+                pix = (py_i.clamp(0, h - 1) * w
+                       + px_i.clamp(0, w - 1)).long()
+                seg = (pix + torch.arange(b)[:, None] * (h * w)).reshape(-1)
+                buf = buf.scatter_reduce(0, seg, packed.reshape(-1),
+                                         reduce="amin")
+        winner = torch.where(buf == _SENT, torch.full_like(buf, -1),
+                             buf & (2 ** FACE_BITS - 1)).reshape(b, h * w)
+        covered = winner >= 0
+        tri = faces[winner.clamp(min=0)].long()  # (B, P, 3)
+
+    def gather(v):
+        return torch.gather(v.unsqueeze(-1).expand(b, n, 3), 1, tri)
+
+    tx, ty, tz = gather(xs), gather(ys), gather(zs)
+    gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                            torch.arange(w, dtype=torch.float32),
+                            indexing="ij")
+    px = gx.reshape(1, -1).expand(b, h * w)
+    py = gy.reshape(1, -1).expand(b, h * w)
+    x0, x1, x2 = tx[..., 0], tx[..., 1], tx[..., 2]
+    y0, y1, y2 = ty[..., 0], ty[..., 1], ty[..., 2]
+    denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+    safe = torch.where(denom.abs() > 1e-12, denom, torch.ones_like(denom))
+    l0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) / safe
+    l1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) / safe
+    l2 = 1.0 - l0 - l1
+    zf = 1.0 / (l0 / tz[..., 0] + l1 / tz[..., 1]
+                + l2 / tz[..., 2]).clamp(min=1e-12)
+    return torch.where(covered, zf,
+                       torch.full_like(zf, far)).reshape(b, h, w)
+
+
+class _FakeNRRenderer:
+    """Stand-in for `neural_renderer.Renderer` (projection mode)."""
+
+    def __init__(self, K=None, R=None, t=None, near=0.1, far=10.0,
+                 image_size=64, **kwargs):
+        self.K = K[0] if K is not None and K.dim() == 3 else K
+        self.near = float(near)
+        self.far = float(far)
+        self.image_size = int(image_size)
+
+    def render_depth(self, vertices, faces):
+        h = w = self.image_size
+        return _torch_render_depth(vertices, faces[0].long(), self.K, h, w,
+                                   self.near, self.far)
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    """Import the reference package CPU-safe: fake neural_renderer, no-op
+    .cuda(), download-free torchvision VGG, synthesized checkpoint assets."""
+    tmp = tmp_path_factory.mktemp("ref_assets")
+
+    fake_nr = types.ModuleType("neural_renderer")
+    fake_nr.Renderer = _FakeNRRenderer
+    sys.modules["neural_renderer"] = fake_nr
+
+    if "skimage" not in sys.modules:  # lpips imports it; unused in our path
+        fake_skimage = types.ModuleType("skimage")
+        fake_skimage.__path__ = []  # mark as package
+        for sub in ("color", "transform", "measure"):
+            mod = types.ModuleType(f"skimage.{sub}")
+            setattr(fake_skimage, sub, mod)
+            sys.modules[f"skimage.{sub}"] = mod
+        sys.modules["skimage"] = fake_skimage
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # the reference targets torch 1.2, where grid_sample used
+    # align_corners=True; modern torch silently defaults to False —
+    # restore the semantics the reference was written for (this framework
+    # implements align_corners=True, renderer.py:19)
+    _orig_gs = F.grid_sample
+
+    def _gs_torch12(input, grid, mode="bilinear", padding_mode="zeros",
+                    align_corners=None):
+        return _orig_gs(input, grid, mode=mode, padding_mode=padding_mode,
+                        align_corners=True if align_corners is None
+                        else align_corners)
+
+    torch.nn.functional.grid_sample = _gs_torch12
+
+    torch.manual_seed(0)  # before ANY weight creation (incl. the fake VGG)
+
+    # torchvision is not installed in this image; the reference's lpips
+    # pretrained_networks only needs `tv.vgg16(pretrained=...).features`
+    # with torchvision's cfg-D Sequential indexing — provide exactly that
+    # (randomly initialized; the SAME instance is converted for our side).
+    def _vgg16_features():
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, cin = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(torch.nn.MaxPool2d(2, 2))
+            else:
+                layers.append(torch.nn.Conv2d(cin, v, 3, padding=1))
+                layers.append(torch.nn.ReLU(inplace=True))
+                cin = v
+        return torch.nn.Sequential(*layers)
+
+    class _FakeVGG(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = _vgg16_features()
+
+    vgg_random = _FakeVGG()
+    try:
+        import torchvision.models as tvm
+        tvm.vgg16 = lambda *a, **k: vgg_random
+    except ImportError:
+        fake_tv = types.ModuleType("torchvision")
+        fake_models = types.ModuleType("torchvision.models")
+        fake_models.vgg16 = lambda *a, **k: vgg_random
+        fake_tv.models = fake_models
+        sys.modules["torchvision"] = fake_tv
+        sys.modules["torchvision.models"] = fake_models
+
+    for p in ("/root/reference",
+              "/root/reference/GAN2Shape/stylegan2/stylegan2-pytorch"):
+        if p not in sys.path:
+            sys.path.append(p)
+
+    import GAN2Shape.losses as tlosses
+    _OrigPerc = tlosses.PerceptualLoss
+
+    class _CPUPerc(_OrigPerc):
+        def __init__(self, *a, **k):
+            k.update(use_gpu=False, gpu_ids=[])
+            super().__init__(*a, **k)
+
+    tlosses.PerceptualLoss = _CPUPerc
+
+    import GAN2Shape.model as tgmodel
+    tgmodel.PerceptualLoss = _CPUPerc
+
+    gan_size, z_dim = 32, 64
+    import model as tsg  # reference stylegan2 model.py
+    g = tsg.Generator(gan_size, z_dim, 8, channel_multiplier=1)
+    d = tsg.Discriminator(gan_size, channel_multiplier=1)
+    gan_ckpt = tmp / "gan.pth"
+    torch.save({"g_ema": g.state_dict(), "d": d.state_dict()}, gan_ckpt)
+
+    view_mean = torch.tensor([0.02, -0.05, 0.01, 0.005, -0.003, 0.01])
+    light_mean = torch.tensor([0.1, 0.3, -0.05, 0.02])
+    torch.save({"mean": view_mean, "cov": torch.eye(6) * 0.04},
+               tmp / "view_mvn.pth")
+    torch.save({"mean": light_mean, "cov": torch.eye(4) * 0.04},
+               tmp / "light_mvn.pth")
+
+    config = {
+        "z_dim": z_dim, "gan_size": gan_size, "channel_multiplier": 1,
+        "image_size": 128, "gan_ckpt_path": str(gan_ckpt),
+        "view_mvn_path": str(tmp / "view_mvn.pth"),
+        "light_mvn_path": str(tmp / "light_mvn.pth"),
+        "rot_center_depth": 1.0, "fov": 10, "category": "face",
+        # our side must use the exact z-buffer — the same math the fake
+        # neural_renderer implements (the torch side ignores this key)
+        "raster_mode": "scatter",
+    }
+    ref = tgmodel.GAN2Shape(config)
+    return ref, config, vgg_random
+
+
+def _convert_all(ref, config, vgg_random):
+    """Reference nets (random-initialized) -> this framework's pytrees."""
+    from gan2shape_tpu.core.model import GAN2Shape
+    from gan2shape_tpu.convert import torch2jax as cv
+
+    model = GAN2Shape(config)
+    model.set_samplers(
+        {"mean": ref.view_light_sampler.view_mean.numpy(),
+         "cov": np.eye(6, dtype=np.float32) * 0.04},
+        {"mean": ref.view_light_sampler.light_mean.numpy(),
+         "cov": np.eye(4, dtype=np.float32) * 0.04})
+
+    params = {
+        "lighting": cv.convert_encoder_net(ref.lighting_net.state_dict()),
+        "viewpoint": cv.convert_encoder_net(ref.viewpoint_net.state_dict()),
+        "depth": cv.convert_encoder_decoder_net(ref.depth_net.state_dict()),
+        "albedo": cv.convert_encoder_decoder_net(
+            ref.albedo_net.state_dict()),
+        "offset_encoder": cv.convert_offset_encoder(
+            ref.offset_encoder_net.state_dict(), config["image_size"]),
+    }
+    gen_params, noise = cv.convert_generator(ref.generator.state_dict())
+    lpips_net = ref.perceptual_loss.model.net
+    frozen = {
+        "generator": gen_params,
+        "noise": [jnp.asarray(n) for n in noise],
+        "discriminator": cv.convert_discriminator(
+            ref.discriminator.state_dict()),
+        "lpips": cv.convert_lpips(vgg_random.state_dict(),
+                                  lpips_net.state_dict()),
+    }
+    return model, params, frozen
+
+
+@pytest.mark.slow
+def test_step1_trajectory_parity(ref_env, rng):
+    ref, config, vgg_random = ref_env
+    model, params, frozen = _convert_all(ref, config, vgg_random)
+    n_iters = 8
+
+    image_np = rng.uniform(-1, 1, (1, 3, 128, 128)).astype(np.float32)
+    t_img = torch.from_numpy(image_np)
+    j_img = jnp.asarray(image_np)
+
+    # ---- reference: step-1 Adam loop (trainer.py:40-41, 99-108) ----
+    opt = torch.optim.Adam(ref.albedo_net.parameters(), lr=1e-4,
+                           betas=(0.9, 0.999), weight_decay=5e-4)
+    ref_losses = []
+    for _ in range(n_iters):
+        opt.zero_grad()
+        loss, _ = ref.forward_step1(t_img, None, None, step1=True)
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    # ---- ours: same loop through the pure-function step ----
+    from gan2shape_tpu.core.trainer import default_optimizer, _split, \
+        STEP_SUBSETS
+    optimizer = default_optimizer()
+    sub, rest = _split(params, STEP_SUBSETS[1])
+    opt_state = optimizer.init(sub)
+
+    @jax.jit
+    def step(sub, opt_state):
+        def loss_fn(sub):
+            return model.forward_step1({**rest, **sub}, frozen, j_img)[0]
+        loss, grads = jax.value_and_grad(loss_fn)(sub)
+        updates, opt_state = optimizer.update(grads, opt_state, sub)
+        return optax.apply_updates(sub, updates), opt_state, loss
+
+    our_losses = []
+    for _ in range(n_iters):
+        sub, opt_state, loss = step(sub, opt_state)
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+
+    # iteration-0 forward must be near-exact (pure function parity; the
+    # looser trajectory tolerance only absorbs optimizer-noise amplification)
+    assert abs(our_losses[0] - ref_losses[0]) < 1e-4
+
+    # final albedo maps agree to the optimizer-divergence bound: per-leaf
+    # gradient parity is ~1e-3 relative (measured), but Adam normalizes
+    # updates so relative gradient noise compounds into the weights
+    with torch.no_grad():
+        want = ref.albedo_net(t_img).numpy()
+    got = np.asarray(model.albedo_net.apply(sub["albedo"], j_img))
+    assert np.abs(got - want).mean() < 5e-2
+
+
+@pytest.mark.slow
+def test_step3_trajectory_and_depth_mad(ref_env, rng):
+    ref, config, vgg_random = ref_env
+    model, params, frozen = _convert_all(ref, config, vgg_random)
+    n_iters = 5
+    n_proj = 2
+
+    image_np = rng.uniform(-1, 1, (1, 3, 128, 128)).astype(np.float32)
+    proj_np = rng.uniform(-1, 1, (n_proj, 3, 128, 128)).astype(np.float32)
+    masks_np = np.ones((n_proj, 1, 128, 128), np.float32)
+
+    t_img = torch.from_numpy(image_np)
+    coll_t = (torch.from_numpy(proj_np.copy()),
+              torch.from_numpy(masks_np.copy()))
+
+    nets = [ref.lighting_net, ref.viewpoint_net, ref.depth_net,
+            ref.albedo_net]
+    opt = torch.optim.Adam([p for net in nets for p in net.parameters()],
+                           lr=1e-4, betas=(0.9, 0.999), weight_decay=5e-4)
+    ref_losses = []
+    for _ in range(n_iters):
+        opt.zero_grad()
+        loss, _ = ref.forward_step3(t_img, None, coll_t)
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from gan2shape_tpu.core.trainer import default_optimizer, _split, \
+        STEP_SUBSETS
+    optimizer = default_optimizer()
+    sub, rest = _split(params, STEP_SUBSETS[3])
+    opt_state = optimizer.init(sub)
+    j_img = jnp.asarray(image_np)
+    coll_j = (jnp.asarray(proj_np), jnp.asarray(masks_np))
+
+    @jax.jit
+    def step(sub, opt_state):
+        def loss_fn(sub):
+            return model.forward_step3({**rest, **sub}, frozen, j_img,
+                                       None, coll_j)[0]
+        loss, grads = jax.value_and_grad(loss_fn)(sub)
+        updates, opt_state = optimizer.update(grads, opt_state, sub)
+        return optax.apply_updates(sub, updates), opt_state, loss
+
+    our_losses = []
+    for _ in range(n_iters):
+        sub, opt_state, loss = step(sub, opt_state)
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=3e-3, atol=3e-3)
+    assert abs(our_losses[0] - ref_losses[0]) < 1e-4
+
+    # depth-MAD (the BASELINE.md fidelity metric) after joint training.
+    # Measured gradient parity at iteration 0: lighting 3e-5, albedo 1e-3,
+    # viewpoint 3e-2, depth 6e-2 worst-leaf relative — the larger two flow
+    # through the rasterizer, where f32 z-quantization tie flips between the
+    # two frameworks change a handful of pixels' winner faces; Adam's
+    # normalized updates amplify that over iterations.  The bound below is
+    # that optimizer-divergence envelope (recorded in PARITY.md), not a
+    # method discrepancy: iteration-0 losses match to <1e-6 relative.
+    with torch.no_grad():
+        d_raw = ref.depth_net(t_img).squeeze(1)
+        centered = d_raw - d_raw.reshape(1, -1).mean()
+        want = ref.rescale_depth(centered.tanh()).numpy()
+    got_raw = model.depth_net.apply(sub["depth"], j_img)[:, 0]
+    got = np.asarray(model.rescale_depth(jnp.tanh(
+        got_raw - jnp.mean(got_raw, axis=(1, 2), keepdims=True))))
+    mad = np.abs(got - want).mean()
+    print(f"step3 {n_iters}-iteration depth MAD vs torch: {mad:.2e}")
+    assert mad < 2.5e-2, f"depth MAD {mad:.2e}"
