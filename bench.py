@@ -14,12 +14,54 @@ is met.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 NORTH_STAR_STEPS_PER_SEC = (1000 + 4900) / 300.0  # 19.67
+
+
+def bench_instances(k):
+    """Instance-batched throughput on ONE chip: K instances trained
+    simultaneously through InstanceParallelTrainer (1-device mesh, vmap
+    branch).  Reports AGGREGATE optimization steps/sec (each scanned step
+    advances all K instances).  PERF ledger: single-chip utilization lever
+    for the tiny per-instance convs."""
+    import jax
+    from gan2shape_tpu.parallel import InstanceParallelTrainer
+    from gan2shape_tpu.parallel.mesh import make_mesh
+
+    config = {
+        "image_size": 128, "gan_size": 128, "z_dim": 512,
+        "channel_multiplier": 1, "category": "face",
+        "n_proj_samples": 16, "n_epochs_prior": 10,
+        "learning_rate": 1e-4, "prior_name": "box",
+        "rot_center_depth": 1.0, "fov": 10,
+    }
+    mesh = make_mesh(1)
+    trainer = InstanceParallelTrainer(config, n_instances=k, mesh=mesh)
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (k, 3, 128, 128)).astype(np.float32)
+    latents = rng.standard_normal((k, 512)).astype(np.float32)
+    priors = np.full((k, 128, 128), 1.0, np.float32)
+    n = 15
+    stage = [{"step1": n, "step2": n, "step3": n}]
+
+    trainer.fit(images, latents, priors, stages=stage)  # compile + warmup
+    t0 = time.perf_counter()
+    n_blocks = 2
+    for _ in range(n_blocks):
+        trainer.fit(images, latents, priors=None, stages=stage)
+    dt = time.perf_counter() - t0
+    agg = n_blocks * 3 * n * k / dt
+    print(json.dumps({
+        "metric": f"gan2shape_face128_instance_batched_steps_per_sec_x{k}",
+        "value": round(agg, 3),
+        "unit": f"aggregate optimization steps/sec ({k} instances, 1 chip)",
+        "vs_baseline": round(agg / NORTH_STAR_STEPS_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -78,4 +120,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instances", type=int, default=0,
+                    help="bench K instance-batched training on one chip")
+    args = ap.parse_args()
+    if args.instances > 0:
+        bench_instances(args.instances)
+    else:
+        main()

@@ -997,7 +997,10 @@ def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
     dtype = vx.dtype
     sg = jax.lax.stop_gradient
     if _mega_pallas_ok(h, w, window):
-        cell, par, covered = _raster_mega_pallas(
+        # v2: vectorized two-stage placement (z-min collision merge);
+        # agreement vs the XLA oracle 0.999 on training-regime warps
+        # (RASTER_CHECK.json), ~3x faster than the serial-placement kernel
+        cell, par, covered = _raster_mega_pallas_v2(
             sg(vx), sg(vy), sg(vz), h, w, window, float(near), float(far))
     else:
         buf0, buf1 = _build_winner_buffers(sg(vx), sg(vy), sg(vz), h, w,

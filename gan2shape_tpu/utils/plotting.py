@@ -91,12 +91,20 @@ def plot_3d_depth(depth, image=None, img_idx=0, n_frames=18,
     if image is not None:
         colors = to_image(image)
 
-    if go is not None and save_html:
-        surf = go.Surface(z=z, surfacecolor=None if colors is None
-                          else colors.mean(-1))
-        fig = go.Figure(data=[surf])
-        fig.write_html(f"results/htmls/depth_{img_idx}.html")
-        log.info("wrote results/htmls/depth_%s.html", img_idx)
+    if save_html:
+        path = f"results/htmls/depth_{img_idx}.html"
+        if go is not None:
+            surf = go.Surface(z=z, surfacecolor=None if colors is None
+                              else colors.mean(-1))
+            fig = go.Figure(data=[surf])
+            fig.write_html(path)
+        else:
+            # plotly is not installed in this image: emit a self-contained
+            # rotating-3D-surface HTML (inline canvas renderer, no external
+            # dependencies) so the reference's interactive gallery artifact
+            # (plotting.py:58-130, docs/index.html) still exists
+            write_3d_html(z, colors, path)
+        log.info("wrote %s", path)
 
     if plt is None or not save_gif:
         return
@@ -120,6 +128,71 @@ def plot_3d_depth(depth, image=None, img_idx=0, n_frames=18,
     frames[0].save(path, save_all=True, append_images=frames[1:],
                    duration=120, loop=0)
     log.info("wrote %s", path)
+
+
+def write_3d_html(z, colors, path, max_side=96):
+    """Self-contained rotating-3D-surface HTML viewer (no plotly, no external
+    assets): embeds the height field + optional vertex colors as JSON and
+    renders with a painter's-algorithm quad rasterizer on a <canvas>.
+    Drag to orbit; auto-rotates like the reference's plotly animation."""
+    z = np.asarray(z, np.float32)
+    h, w = z.shape
+    step = max(1, int(np.ceil(max(h, w) / max_side)))
+    z = z[::step, ::step]
+    finite = np.isfinite(z)
+    zmin = float(np.nanmin(z)) if finite.any() else 0.0
+    zmax = float(np.nanmax(z)) if finite.any() else 1.0
+    zn = np.where(finite, (z - zmin) / max(zmax - zmin, 1e-9), np.nan)
+    col = None
+    if colors is not None:
+        c = np.asarray(colors)[::step, ::step]
+        col = np.clip(c.reshape(c.shape[0], c.shape[1], -1)[..., :3] * 255,
+                      0, 255).astype(np.uint8).tolist()
+    payload = {
+        "z": [[None if not np.isfinite(v) else round(float(v), 4)
+               for v in row] for row in zn],
+        "c": col,
+    }
+    import json as _json
+    html = """<!doctype html><meta charset="utf-8">
+<title>depth surface</title>
+<style>body{margin:0;background:#111;color:#ccc;font:13px sans-serif}
+#c{display:block;margin:auto}</style>
+<canvas id="c" width="720" height="720"></canvas>
+<div style="text-align:center">drag to orbit &middot; auto-rotates</div>
+<script>
+const D=DATA;const Z=D.z,C=D.c,H=Z.length,W=Z[0].length;
+const cv=document.getElementById('c'),g=cv.getContext('2d');
+let yaw=0,pitch=-1.0,drag=null,auto=true;
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY];auto=false};
+window.onmouseup=()=>drag=null;
+window.onmousemove=e=>{if(!drag)return;yaw+=(e.clientX-drag[0])*.01;
+pitch+=(e.clientY-drag[1])*.01;drag=[e.clientX,e.clientY];};
+function render(){
+g.fillStyle='#111';g.fillRect(0,0,720,720);
+const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+const s=620/Math.max(H,W);const quads=[];
+function pr(i,j){const zv=Z[i][j];if(zv===null)return null;
+let x=(j-W/2)*s,y=(i-H/2)*s,zz=(zv-0.5)*220;
+let x1=x*cy+zz*sy, z1=-x*sy+zz*cy;
+let y1=y*cp+z1*sp, z2=-y*sp+z1*cp;
+return [x1+360,y1+360,z2,zv];}
+for(let i=0;i<H-1;i++)for(let j=0;j<W-1;j++){
+const a=pr(i,j),b=pr(i,j+1),c2=pr(i+1,j+1),d=pr(i+1,j);
+if(!a||!b||!c2||!d)continue;
+quads.push([(a[2]+b[2]+c2[2]+d[2])/4,a,b,c2,d,i,j]);}
+quads.sort((p,q)=>p[0]-q[0]);
+for(const[_,a,b,c2,d,i,j]of quads){
+let col;if(C){const cc=C[i][j];col=`rgb(${cc[0]},${cc[1]},${cc[2]})`;}
+else{const t=a[3];col=`hsl(${240-t*240},70%,${30+t*40}%)`;}
+g.fillStyle=col;g.beginPath();g.moveTo(a[0],a[1]);g.lineTo(b[0],b[1]);
+g.lineTo(c2[0],c2[1]);g.lineTo(d[0],d[1]);g.closePath();g.fill();}
+if(auto)yaw+=0.015;requestAnimationFrame(render);}
+render();
+</script>"""
+    html = html.replace("DATA", _json.dumps(payload))
+    with open(path, "w") as f:
+        f.write(html)
 
 
 def plot_originals_v_reconstructions(originals, reconstructions, n=4):

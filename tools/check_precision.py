@@ -1,0 +1,137 @@
+"""TPU sanity check for the bf16 matmul-precision policy (PERF ledger #2).
+
+Runs N iterations of the full step-1/2/3 optimization from the same init at
+exact-f32 ('highest') and at the shipping policy ('default', single-pass
+bf16) and asserts the loss trajectories track: same direction, bounded
+relative deviation, no NaN/Inf.  Writes PRECISION_CHECK.json.
+
+CPU executes exact f32 for every precision setting, so this check is only
+meaningful on TPU (it exits skipped elsewhere).
+
+    python tools/check_precision.py [--iters 40]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+# per-step relative deviation bounds on the mean of the last 5 losses.
+# step2's bound is looser: its loss is stochastic (fresh pseudo views per
+# iteration) and Adam's normalized updates amplify tiny bf16 gradient
+# differences into diverging-but-equivalent trajectories (the same chaos
+# envelope measured against the torch oracle, PARITY.md) — measured 0.064
+# at 40 iterations vs exact f32.
+MAX_REL_DEV = {"prior": 0.05, "step1": 0.05, "step2": 0.15, "step3": 0.05}
+ATOL = 1e-4             # absolute floor (prior losses converge to ~0)
+_WORKER = "_g2s_precision_worker"
+
+
+def run_trajectory(iters, n_proj):
+    """Run in-process: one Trainer, `iters` of each step; return losses."""
+    import jax
+    import jax.numpy as jnp
+    from gan2shape_tpu.core.trainer import Trainer
+
+    s = 128
+    config = {
+        "image_size": s, "gan_size": s, "z_dim": 512,
+        "channel_multiplier": 1, "category": "face",
+        "n_proj_samples": n_proj, "n_epochs_prior": 50,
+        "learning_rate": 1e-4, "prior_name": "box",
+        "rot_center_depth": 1.0, "fov": 10,
+    }
+    t = Trainer(config, seed=0)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(-1, 1, (1, 3, s, s)).astype(np.float32))
+    latent = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+    prior = jnp.asarray(np.full((s, s), 1.0, np.float32))
+
+    pd, _, lp = t._run_prior(t.params["depth"],
+                             t.optimizers[1].init(t.params["depth"]),
+                             image, prior, n_iters=t.n_epochs_prior)
+    t.params["depth"] = pd
+    p, t.opt_states[1], coll, l1 = t._run_step1(
+        t.params, t.opt_states[1], t.frozen, image, n_iters=iters)
+    t.params = p
+    p, t.opt_states[2], coll2, l2 = t._run_step2(
+        t.params, t.opt_states[2], t.frozen, image, latent, coll,
+        jax.random.PRNGKey(7), n_iters=iters, n_proj=n_proj)
+    t.params = p
+    p, t.opt_states[3], l3 = t._run_step3(
+        t.params, t.opt_states[3], t.frozen, image, latent, coll2,
+        n_iters=iters)
+    return {"prior": np.asarray(lp).tolist(),
+            "step1": np.asarray(l1).tolist(),
+            "step2": np.asarray(l2).tolist(),
+            "step3": np.asarray(l3).tolist()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--n-proj", type=int, default=16)
+    ap.add_argument(_WORKER.replace("_g2s", "--g2s"), action="store_true",
+                    dest="worker")
+    args = ap.parse_args()
+
+    if args.worker:
+        json.dump(run_trajectory(args.iters, args.n_proj), sys.stdout)
+        return
+
+    results = {"ok": True, "skipped": False, "iters": args.iters,
+               "steps": {}}
+    trajs = {}
+    for prec in ("highest", "default"):
+        env = dict(os.environ, G2S_MATMUL_PRECISION=prec)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--iters", str(args.iters), "--n-proj", str(args.n_proj),
+             "--g2s_precision_worker"],
+            env=env, capture_output=True, text=True, timeout=2400)
+        if out.returncode != 0:
+            results["ok"] = False
+            results["error"] = out.stderr[-800:]
+            break
+        trajs[prec] = json.loads(
+            out.stdout[out.stdout.index("{"):])
+
+    if results["ok"]:
+        import jax  # after workers: platform check only
+        if jax.devices()[0].platform != "tpu":
+            results["skipped"] = True
+        for step in ("prior", "step1", "step2", "step3"):
+            hi = np.asarray(trajs["highest"][step])
+            lo = np.asarray(trajs["default"][step])
+            hi_t = float(np.mean(hi[-5:]))
+            lo_t = float(np.mean(lo[-5:]))
+            dev = abs(lo_t - hi_t)
+            rel = dev / max(abs(hi_t), 1e-6)
+            ok = (np.isfinite(lo).all() and lo[-1] < lo[0]
+                  and (dev <= ATOL or rel <= MAX_REL_DEV[step]))
+            entry = {
+                "tail_mean_highest": hi_t, "tail_mean_default": lo_t,
+                "tail_rel_dev": float(rel), "bound": MAX_REL_DEV[step],
+                "default_finite": bool(np.isfinite(lo).all()),
+                "default_decreasing": bool(lo[-1] < lo[0]),
+                "pass": bool(ok),
+            }
+            results["steps"][step] = entry
+        results["ok"] = all(e["pass"] for e in results["steps"].values())
+
+    out_path = os.path.join(_ROOT, "PRECISION_CHECK.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1), file=sys.stderr)
+    sys.exit(0 if results["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
