@@ -109,9 +109,13 @@ class InstanceParallelTrainer:
                             jax.tree.map(lambda x: x[None], t) for t in out)
                     return jax.vmap(fn, in_axes=(None,) + (0,) * len(a))(
                         frozen, *a)
+                # check_vma=False: the Pallas rasterizer's out_shapes
+                # carry no varying-across-mesh annotation, and this map is
+                # embarrassingly parallel (no collectives to validate)
                 return jax.shard_map(
                     local, mesh=mesh, in_specs=(P(),) + (P(axis),) * n_in,
-                    out_specs=(P(axis),) * n_out)(frozen, *args)
+                    out_specs=(P(axis),) * n_out,
+                    check_vma=False)(frozen, *args)
             return wrapper
 
         # The per-step iteration counts are bound as leading Python ints via
@@ -240,7 +244,8 @@ class InstanceParallelTrainer:
             return jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(P(axis), P(axis), P(axis)),
-                out_specs=(P(axis), P(axis)))(params_depth, images, priors)
+                out_specs=(P(axis), P(axis)),
+                check_vma=False)(params_depth, images, priors)
 
         self._run_prior = run_prior
 
@@ -299,4 +304,5 @@ class InstanceParallelTrainer:
                 in_axes=(0, 0))(params, images)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(P(), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis))))(self.frozen, self.params, images)
+            out_specs=(P(axis), P(axis)),
+            check_vma=False))(self.frozen, self.params, images)

@@ -71,10 +71,9 @@ def test_instance_parallel_multiple_per_device():
     """16 instances on the 8-device mesh drives the n_per_dev=2 vmap branch
     of sharded() (previously only the squeeze branch ever executed)."""
     n = 16
-    s = 32
-    cfg = dict(CFG, image_size=s, gan_size=s)
+    s = 64  # OffsetEncoder supports sizes {64, 128} (reference contract)
     mesh = make_mesh()
-    trainer = InstanceParallelTrainer(cfg, n_instances=n, mesh=mesh)
+    trainer = InstanceParallelTrainer(CFG, n_instances=n, mesh=mesh)
     rng = np.random.default_rng(1)
     images = rng.uniform(-1, 1, (n, 3, s, s)).astype(np.float32)
     latents = rng.standard_normal((n, 512)).astype(np.float32)
