@@ -41,6 +41,8 @@ def _gather_fwd(op, starts):
 
 
 def _gather_bwd(res, g):
+    # four per-tap scatter-adds; a single concatenated scatter was measured
+    # EQUAL-or-worse (XLA scatter cost is per-update, not per-op)
     starts, shape = res
     b, h, w, c = shape
     iy = starts[..., 0]
