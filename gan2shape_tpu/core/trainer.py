@@ -54,6 +54,18 @@ def _split(params, subset):
     return sub, rest
 
 
+def _cat(chunks):
+    """Concatenate per-chunk loss arrays (empty list -> empty array, so
+    zero-iteration steps don't crash the logging path)."""
+    if not chunks:
+        return np.zeros((0,), np.float32)
+    return np.concatenate([np.asarray(c) for c in chunks])
+
+
+def _last(arr):
+    return float(arr[-1]) if len(arr) else float("nan")
+
+
 class Trainer:
     """Instance-mode trainer (reference trainer.py:13-171): per image, prior
     pretraining then `stages` x (step1, step2, step3)."""
@@ -73,6 +85,14 @@ class Trainer:
         self.log_wandb = log_wandb
         self.save_ckpts = save_ckpts
         self.debug = debug
+
+        # Iteration blocks execute as repeats of `compile_chunk`-sized scans
+        # (plus one remainder), so every schedule value sharing the chunk
+        # compiles ONE executable per step: the reference schedule's 7
+        # distinct (step, n_iters) shapes ({700,700,600} + 3x{200,500,400} +
+        # 1000 prior) collapse to 4 compiles with the default chunk of 100.
+        # compile_chunk=0 disables chunking (one scan per block).
+        self.compile_chunk = int(model_config.get("compile_chunk", 100))
 
         key = jax.random.PRNGKey(seed)
         k_params, k_frozen, self._key = jax.random.split(key, 3)
@@ -104,6 +124,22 @@ class Trainer:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _chunk_sizes(self, n):
+        """Decompose an iteration count into repeats of `compile_chunk` plus
+        a remainder.  Mathematically identical to one scan of length n (the
+        optimizer/param carry threads through); step-2's PRNG consumes one
+        fresh key per chunk instead of one per block — a different but
+        equally valid sample stream."""
+        c = self.compile_chunk
+        if n <= 0:
+            return []
+        if c <= 0 or n <= c:
+            return [n]
+        out = [c] * (n // c)
+        if n % c:
+            out.append(n % c)
+        return out
 
     # ---------------- jitted runners ----------------
 
@@ -248,22 +284,34 @@ class Trainer:
         prior = self.prior_generator(np.asarray(image))
         prior = jnp.asarray(prior[0] if prior.ndim == 3 else prior)
         opt_state = self.optimizers[1].init(self.params["depth"])
-        depth_params, _, losses = self._run_prior(
-            self.params["depth"], opt_state, image, prior,
-            n_iters=self.n_epochs_prior)
-        self.params["depth"] = depth_params
+        all_losses = []
+        for c in self._chunk_sizes(self.n_epochs_prior):
+            self.params["depth"], opt_state, losses = self._run_prior(
+                self.params["depth"], opt_state, image, prior, n_iters=c)
+            all_losses.append(losses)
+        if not all_losses:
+            return jnp.zeros((0,))
+        losses = jnp.concatenate(all_losses)
         log.info("prior pretrain image %s: loss %.3e -> %.3e", image_idx,
                  float(losses[0]), float(losses[-1]))
         return losses
 
-    def fit(self, images_latents, stages=None, batch_size=1, shuffle=False,
+    def fit(self, images_latents, stages=None, shuffle=False,
             plot_depth_map=False, **_):
-        """Sequential per-instance training (reference trainer.py:57-128)."""
+        """Sequential per-instance training (reference trainer.py:57-128).
+
+        Instance mode is batch-1 by construction (the reference pins
+        DataLoader(batch_size=1), trainer.py:66-69); `shuffle` permutes the
+        image order exactly like the reference's DataLoader(shuffle=True)."""
         stages = stages or [{"step1": 1, "step2": 1, "step3": 1}] * 2
         total_it = 0
         history = []
-        for idx in range(len(images_latents)):
-            image, latent, data_index = images_latents[idx]
+        order = np.arange(len(images_latents))
+        if shuffle:
+            order = np.asarray(
+                jax.random.permutation(self._next_key(), len(order)))
+        for idx in order:
+            image, latent, data_index = images_latents[int(idx)]
             image = jnp.asarray(image)[None]
             latent = jnp.asarray(latent)
             if latent.ndim == 1:
@@ -278,33 +326,45 @@ class Trainer:
             collected = None
             for stage_i, stage in enumerate(stages):
                 t0 = time.time()
-                self.params, self.opt_states[1], collected, l1 = \
-                    self._run_step1(self.params, self.opt_states[1],
-                                    self.frozen, image,
-                                    n_iters=stage["step1"])
-                self.params, self.opt_states[2], collected2, l2 = \
-                    self._run_step2(self.params, self.opt_states[2],
-                                    self.frozen, image, latent, collected,
-                                    self._next_key(),
-                                    n_iters=stage["step2"],
-                                    n_proj=self.n_proj_samples)
-                self.params, self.opt_states[3], l3 = \
-                    self._run_step3(self.params, self.opt_states[3],
-                                    self.frozen, image, latent, collected2,
-                                    n_iters=stage["step3"])
-                total_it += stage["step1"] + stage["step2"] + stage["step3"]
-                jax.block_until_ready(l3)
+                l1s, l2s, l3s = [], [], []
+                for c in self._chunk_sizes(stage["step1"]):
+                    self.params, self.opt_states[1], collected, l1c = \
+                        self._run_step1(self.params, self.opt_states[1],
+                                        self.frozen, image, n_iters=c)
+                    l1s.append(l1c)
+                for c in self._chunk_sizes(stage["step2"]):
+                    self.params, self.opt_states[2], collected2, l2c = \
+                        self._run_step2(self.params, self.opt_states[2],
+                                        self.frozen, image, latent, collected,
+                                        self._next_key(), n_iters=c,
+                                        n_proj=self.n_proj_samples)
+                    l2s.append(l2c)
+                for c in self._chunk_sizes(stage["step3"]):
+                    self.params, self.opt_states[3], l3c = \
+                        self._run_step3(self.params, self.opt_states[3],
+                                        self.frozen, image, latent,
+                                        collected2, n_iters=c)
+                    l3s.append(l3c)
+                if l3s:
+                    jax.block_until_ready(l3s[-1])
                 dt = time.time() - t0
+                # full per-iteration loss curves (the reference logs every
+                # iteration, trainer.py:111-115; the scans return the whole
+                # arrays — stream them at block end, zero host syncs inside)
+                l1, l2, l3 = (_cat(ls) for ls in (l1s, l2s, l3s))
                 log.info(
                     "image %s stage %d: losses %.4f/%.4f/%.4f (%.1fs, %d it)",
-                    data_index, stage_i, float(l1[-1]), float(l2[-1]),
-                    float(l3[-1]), dt, total_it)
+                    data_index, stage_i, _last(l1), _last(l2),
+                    _last(l3), dt, total_it + len(l1) + len(l2) + len(l3))
                 history.append({
                     "image": int(data_index), "stage": stage_i,
-                    "loss_step1": float(l1[-1]), "loss_step2": float(l2[-1]),
-                    "loss_step3": float(l3[-1]), "seconds": dt,
-                    "total_it": total_it})
-                self._log_wandb(history[-1])
+                    "loss_step1": _last(l1), "loss_step2": _last(l2),
+                    "loss_step3": _last(l3), "seconds": dt,
+                    "total_it": total_it + len(l1) + len(l2) + len(l3),
+                    "losses_step1": l1.tolist(), "losses_step2": l2.tolist(),
+                    "losses_step3": l3.tolist()})
+                total_it = self._log_wandb_iters(
+                    stage_i, data_index, total_it, l1, l2, l3)
 
                 if self.save_ckpts:
                     self.ckpt.save(self.params, data_index, stage_i,
@@ -331,6 +391,25 @@ class Trainer:
         except ImportError:
             pass
 
+    def _log_wandb_iters(self, stage_i, data_index, total_it, l1, l2, l3):
+        """Per-iteration wandb records with the reference's exact keys
+        (trainer.py:111-115: stage, total_it, loss_step{k}, image_num).
+        Always advances and returns the global iteration counter."""
+        wandb = None
+        if self.log_wandb:
+            try:
+                import wandb
+            except ImportError:
+                wandb = None
+        for k, arr in ((1, l1), (2, l2), (3, l3)):
+            for v in np.asarray(arr):
+                total_it += 1
+                if wandb is not None:
+                    wandb.log({"stage": stage_i, "total_it": total_it,
+                               f"loss_step{k}": float(v),
+                               "image_num": int(data_index)})
+        return total_it
+
     def evaluate(self, image):
         return self.model.evaluate_results(self.params, self.frozen, image)
 
@@ -339,11 +418,38 @@ class GeneralizingTrainer(Trainer):
     """Shared-nets variant (reference GeneralizingTrainer2, trainer.py:338-479
     — the first GeneralizingTrainer crashes in the reference and is not
     replicated): per epoch, batched step1 across images, then per-image
-    step2/step3 blocks."""
+    step2/step3 blocks.
 
-    def __init__(self, model_config, **kw):
+    Data parallelism: the batched phases (prior pretraining and step 1)
+    shard the image-batch axis over a device mesh with REPLICATED
+    parameters; XLA's sharding propagation inserts the gradient all-reduces.
+    Pass `mesh` (or set config `data_parallel: true` to use all local
+    devices).  Per-image phases (step 2/3, batch 1) run replicated.  This
+    scales the surface the reference's broken DDP trainer attempted
+    (reference trainer.py:213, stylegan2 train.py:436-450)."""
+
+    def __init__(self, model_config, mesh=None, **kw):
         super().__init__(model_config, **kw)
         self.n_epochs = model_config.get("n_epochs_generalized", 1)
+        if mesh is None and model_config.get("data_parallel", False):
+            from gan2shape_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(axis_name="batch")
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            self._repl_sh = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, self._repl_sh)
+            self.frozen = jax.device_put(self.frozen, self._repl_sh)
+
+    def _shard_batch(self, x):
+        """Shard a leading-batch-axis array over the mesh (replicate when
+        the batch doesn't divide the mesh — XLA requires even shards)."""
+        if self.mesh is None:
+            return x
+        sh = self._batch_sh if x.shape[0] % self.mesh.devices.size == 0 \
+            else self._repl_sh
+        return jax.device_put(x, sh)
 
     def fit(self, images_latents, stages=None, batch_size=2, shuffle=False,
             plot_depth_map=False, **_):
@@ -366,55 +472,73 @@ class GeneralizingTrainer(Trainer):
         priors = jnp.asarray(np.stack(priors)).reshape(
             n, self.image_size, self.image_size)
 
-        if self.load_dict is None:
+        if self.load_dict is None and self.n_epochs_prior > 0:
             opt_state = self.optimizers[1].init(self.params["depth"])
-            for e in range(0, self.n_epochs_prior, 100):
-                block = min(100, self.n_epochs_prior - e)
+            losses = None
+            im_sh = self._shard_batch(images)
+            pr_sh = self._shard_batch(priors)
+            for c in self._chunk_sizes(self.n_epochs_prior):
                 self.params["depth"], opt_state, losses = self._run_prior(
-                    self.params["depth"], opt_state, images, priors,
-                    n_iters=block)
+                    self.params["depth"], opt_state, im_sh, pr_sh,
+                    n_iters=c)
             log.info("prior pretrain done: %.3e", float(losses[-1]))
 
+        order = np.arange(n)
         for epoch in range(self.n_epochs):
+            if shuffle:
+                order = np.asarray(
+                    jax.random.permutation(self._next_key(), n))
             for start in range(0, n, batch_size):
-                idxs = slice(start, min(start + batch_size, n))
-                imgs = images[idxs]
+                idxs = order[start:start + batch_size]
+                imgs = self._shard_batch(images[idxs])
                 lats = latents[idxs]
 
-                self.params, self.opt_states[1], collected, l1 = \
-                    self._run_step1(self.params, self.opt_states[1],
-                                    self.frozen, imgs,
-                                    n_iters=stages[0]["step1"])
-                total_it += stages[0]["step1"]
+                l1s = []
+                for c in self._chunk_sizes(stages[0]["step1"]):
+                    self.params, self.opt_states[1], collected, l1c = \
+                        self._run_step1(self.params, self.opt_states[1],
+                                        self.frozen, imgs, n_iters=c)
+                    l1s.append(l1c)
+                l1 = _cat(l1s)
+                total_it += len(l1)
 
                 for bi in range(imgs.shape[0]):
                     coll_i = jax.tree.map(lambda x: x[bi:bi + 1], collected)
-                    self.params, self.opt_states[2], coll2, l2 = \
-                        self._run_step2(self.params, self.opt_states[2],
-                                        self.frozen, imgs[bi:bi + 1],
-                                        lats[bi:bi + 1], coll_i,
-                                        self._next_key(),
-                                        n_iters=stages[0]["step2"],
-                                        n_proj=self.n_proj_samples)
-                    self.params, self.opt_states[3], l3 = \
-                        self._run_step3(self.params, self.opt_states[3],
-                                        self.frozen, imgs[bi:bi + 1],
-                                        lats[bi:bi + 1], coll2,
-                                        n_iters=stages[0]["step3"])
-                    total_it += stages[0]["step2"] + stages[0]["step3"]
-                # per-batch record (the reference logs per-step losses,
-                # trainer.py:460-465; one record per batch with the final
-                # iteration's losses keeps the same observability without
-                # a host sync per device step)
-                rec = {"epoch": epoch, "batch_start": start,
-                       "total_it": total_it,
-                       "loss_step1": float(l1[-1]),
-                       "loss_step2": float(l2[-1]),
-                       "loss_step3": float(l3[-1])}
-                history.append(rec)
-                self._log_wandb(rec)
-            log.info("epoch %d: %.4f/%.4f/%.4f", epoch, float(l1[-1]),
-                     float(l2[-1]), float(l3[-1]))
+                    l2s, l3s = [], []
+                    for c in self._chunk_sizes(stages[0]["step2"]):
+                        self.params, self.opt_states[2], coll2, l2c = \
+                            self._run_step2(self.params, self.opt_states[2],
+                                            self.frozen, imgs[bi:bi + 1],
+                                            lats[bi:bi + 1], coll_i,
+                                            self._next_key(), n_iters=c,
+                                            n_proj=self.n_proj_samples)
+                        l2s.append(l2c)
+                    for c in self._chunk_sizes(stages[0]["step3"]):
+                        self.params, self.opt_states[3], l3c = \
+                            self._run_step3(self.params, self.opt_states[3],
+                                            self.frozen, imgs[bi:bi + 1],
+                                            lats[bi:bi + 1], coll2,
+                                            n_iters=c)
+                        l3s.append(l3c)
+                    l2 = _cat(l2s)
+                    l3 = _cat(l3s)
+                    image_num = int(idxs[bi])
+                    # per-image record with full loss curves (reference
+                    # logs per-step losses each iteration with image
+                    # context, trainer.py:460-465)
+                    rec = {"epoch": epoch, "image_num": image_num,
+                           "total_it": total_it + len(l2) + len(l3),
+                           "loss_step1": _last(l1),
+                           "loss_step2": _last(l2),
+                           "loss_step3": _last(l3),
+                           "losses_step2": l2.tolist(),
+                           "losses_step3": l3.tolist()}
+                    history.append(rec)
+                    total_it = self._log_wandb_iters(
+                        epoch, image_num, total_it, np.zeros(0), l2, l3)
+                history[-1]["losses_step1"] = l1.tolist()
+            log.info("epoch %d: %.4f/%.4f/%.4f", epoch, _last(l1),
+                     _last(l2), _last(l3))
             if epoch % 20 == 0 and self.save_ckpts:
                 self.ckpt.save(self.params, "", epoch, total_it,
                                self.category)

@@ -4,8 +4,11 @@ The reference's distributed story is a broken, vestigial NCCL/DDP path
 (SURVEY.md §2.7); here scaling is native: a 1-D `jax.sharding.Mesh` over the
 method's natural axis — image INSTANCES — plus replication for the frozen
 backbone.  XLA inserts all collectives; there is no hand-written comm layer.
-Multi-host extends the same mesh via jax.distributed.initialize (ICI
-intra-slice, DCN across slices) without code changes here.
+Multi-host: initialize the global runtime first (parallel/distributed.py —
+`initialize_from_env()`, wired into main.py); `jax.devices()` then returns
+the global device list and `make_mesh()` spans hosts unchanged (ICI
+intra-slice, DCN across slices).  Exercised by tests/test_distributed.py's
+2-process smoke test.
 """
 
 import jax

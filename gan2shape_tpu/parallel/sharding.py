@@ -67,6 +67,10 @@ class InstanceParallelTrainer:
         self.params = jax.device_put(self.params, self._inst)
         self.frozen = jax.device_put(self.frozen, self._repl)
         self._build()
+        # Adam moments persist across fit() calls (matching the sequential
+        # Trainer's self.opt_states): stage-split or resumed fits continue
+        # from the same optimizer state instead of silently resetting it.
+        self.opt_states = self.init_opt_states()
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -257,8 +261,12 @@ class InstanceParallelTrainer:
         states = jax.jit(jax.vmap(per_instance))(self.params)
         return jax.device_put(states, self._inst)
 
-    def fit(self, images, latents, priors=None, stages=None):
-        """images (N,3,H,W), latents (N,D), priors (N,H,W) — all numpy/jnp."""
+    def fit(self, images, latents, priors=None, stages=None,
+            reset_opt=False):
+        """images (N,3,H,W), latents (N,D), priors (N,H,W) — all numpy/jnp.
+
+        Optimizer moments carry across calls; pass reset_opt=True for the
+        reference's fresh-Adam-per-fit behavior."""
         stages = stages or [{"step1": 1, "step2": 1, "step3": 1}]
         images = jax.device_put(jnp.asarray(images), self._inst)
         latents = jax.device_put(jnp.asarray(latents), self._inst)
@@ -271,7 +279,9 @@ class InstanceParallelTrainer:
             self.params["depth"] = depth
             log.info("prior pretrain: %.3e", float(losses[:, -1].mean()))
 
-        st1, st2, st3 = self.init_opt_states()
+        if reset_opt:
+            self.opt_states = self.init_opt_states()
+        st1, st2, st3 = self.opt_states
         history = []
         for i, stage in enumerate(stages):
             keys = jax.random.split(self._next_key(), self.n)
@@ -290,17 +300,20 @@ class InstanceParallelTrainer:
             history.append(rec)
             log.info("stage %d: %.4f/%.4f/%.4f", i, rec["loss_step1"],
                      rec["loss_step2"], rec["loss_step3"])
+        self.opt_states = (st1, st2, st3)
         return history
 
     def evaluate(self, images):
+        """Returns (recon_im (N,3,H,W), recon_depth (N,H,W))."""
         from jax.sharding import PartitionSpec as P
         axis = self.mesh.axis_names[0]
         images = jax.device_put(jnp.asarray(images), self._inst)
 
         def local(frozen, params, images):
             return jax.vmap(
-                lambda p, im: self.model.evaluate_results(p, frozen,
-                                                          im[None]),
+                lambda p, im: jax.tree.map(
+                    lambda x: x[0],
+                    self.model.evaluate_results(p, frozen, im[None])),
                 in_axes=(0, 0))(params, images)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(P(), P(axis), P(axis)),

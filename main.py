@@ -67,11 +67,24 @@ def main():
                         help="train this many instances in parallel across "
                              "the device mesh (0 = sequential reference "
                              "behavior)")
+    parser.add_argument("--distributed", dest="DISTRIBUTED",
+                        action="store_true",
+                        help="join a multi-host runtime (coordinates from "
+                             "G2S_COORDINATOR/G2S_NUM_PROCESSES/"
+                             "G2S_PROCESS_ID, or TPU-pod autodetection); "
+                             "the env vars alone also activate it")
     args = parser.parse_args()
 
     logging.basicConfig(
         filename=args.LOG_FILE,
         format="%(asctime)s %(levelname)-8s %(message)s", level=logging.INFO)
+
+    # must run before any backend-initializing JAX call
+    from gan2shape_tpu.parallel import distributed
+    if args.DISTRIBUTED:
+        import os
+        os.environ.setdefault("G2S_MULTIHOST", "1")
+    distributed.initialize_from_env()
 
     config = load_config(category=args.CATEGORY,
                          config_file=None if args.CATEGORY else args.CONFIG,

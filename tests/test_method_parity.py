@@ -16,9 +16,13 @@ Bridging notes (documented deviations of the harness, not the framework):
     is covered by tests/test_renderer.py and tests/test_rasterize_grid.py.
   * torchvision's VGG16 is instantiated randomly (no weight download here)
     and the SAME random VGG is converted for our LPIPS.
-  * step 2 cannot be trajectory-matched (its pseudo-sample randomness is
-    internal: torch global RNG vs JAX keys — SURVEY.md §7 'Randomness');
-    its pieces are covered by module goldens.
+  * step 2's pseudo-sample SAMPLING cannot be cross-matched (its
+    randomness is internal: torch global RNG vs JAX keys — SURVEY.md §7
+    'Randomness'), so the step-2 test injects ONE identical pseudo-sample
+    pool into both sides (monkeypatched `sample_pseudo_imgs` on the torch
+    side, direct `step2_loss` on ours); given the pool, the GAN-inversion
+    loss (reference model.py:193-223) is deterministic and its trajectory
+    is matched exactly like steps 1/3.
 
 Reference call sites mirrored: trainer.py:99-108 (per-step Adam loops),
 model.py:95-173 (step1), model.py:225-280 (step3).
@@ -342,6 +346,101 @@ def test_step1_trajectory_parity(ref_env, rng):
         want = ref.albedo_net(t_img).numpy()
     got = np.asarray(model.albedo_net.apply(sub["albedo"], j_img))
     assert np.abs(got - want).mean() < 5e-2
+
+
+@pytest.mark.slow
+def test_step2_trajectory_parity(ref_env, rng):
+    """Composed step-2 GAN-inversion optimization (offset encoder +
+    style_forward projection + invert + discriminator feature loss +
+    offset regularization, reference model.py:175-223) against the torch
+    reference, with one identical pseudo-sample pool injected into both
+    sides."""
+    ref, config, vgg_random = ref_env
+    model, params, frozen = _convert_all(ref, config, vgg_random)
+    n_iters = 6
+    n_proj = 2
+    s = config["image_size"]
+
+    image_np = rng.uniform(-1, 1, (1, 3, s, s)).astype(np.float32)
+    latent_np = rng.standard_normal((1, config["z_dim"])).astype(np.float32)
+    pseudo_np = rng.uniform(-1, 1, (n_proj, 3, s, s)).astype(np.float32)
+    mask_np = np.ones((n_proj, 1, s, s), np.float32)
+
+    # ---- reference: inject the fixed pool, run the step-2 Adam loop
+    # (trainer.py:42-43, 252-277) ----
+    ref.sample_pseudo_imgs = lambda *a, **k: (
+        torch.from_numpy(pseudo_np.copy()), torch.from_numpy(mask_np.copy()))
+    # collected is only consumed by the patched sampler; shapes are moot
+    dummy = torch.zeros(1)
+    coll_t = (dummy, dummy, dummy, dummy, dummy, None)
+    t_lat = torch.from_numpy(latent_np.copy())
+
+    opt = torch.optim.Adam(ref.offset_encoder_net.parameters(), lr=1e-4,
+                           betas=(0.9, 0.999), weight_decay=5e-4)
+    ref_losses = []
+    ref_grad0 = None
+    for it in range(n_iters):
+        opt.zero_grad()
+        loss, _ = ref.forward_step2(torch.from_numpy(image_np), t_lat,
+                                    coll_t, n_proj_samples=n_proj)
+        loss.backward()
+        if it == 0:
+            ref_grad0 = {k: (p.grad.detach().clone()
+                             if p.grad is not None else torch.zeros_like(p))
+                         for k, p in
+                         ref.offset_encoder_net.named_parameters()}
+        opt.step()
+        ref_losses.append(float(loss))
+
+    # ---- ours: same loop through step2_loss with the same pool ----
+    from gan2shape_tpu.core.trainer import default_optimizer, _split, \
+        STEP_SUBSETS
+    from gan2shape_tpu.convert import torch2jax as cv
+
+    optimizer = default_optimizer()
+    sub, rest = _split(params, STEP_SUBSETS[2])
+    opt_state = optimizer.init(sub)
+    j_lat = jnp.asarray(latent_np)
+    pseudo_j = jnp.asarray(pseudo_np)
+    mask_j = jnp.asarray(mask_np)
+    invariants = model.step2_invariants(frozen, j_lat)
+
+    @jax.jit
+    def step(sub, opt_state):
+        def loss_fn(sub):
+            return model.step2_loss({**rest, **sub}, frozen, j_lat,
+                                    pseudo_j, mask_j, invariants)[0]
+        loss, grads = jax.value_and_grad(loss_fn)(sub)
+        updates, opt_state = optimizer.update(grads, opt_state, sub)
+        return optax.apply_updates(sub, updates), opt_state, loss, grads
+
+    our_losses = []
+    our_grad0 = None
+    for it in range(n_iters):
+        sub, opt_state, loss, grads = step(sub, opt_state)
+        if it == 0:
+            our_grad0 = grads
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=3e-3, atol=3e-3)
+    assert abs(our_losses[0] - ref_losses[0]) < 1e-4
+
+    # iteration-0 offset-encoder gradient parity: convert the torch grads
+    # with the same state_dict->pytree converter used for the weights
+    # (buffers that have no grad enter as zeros and are compared as zeros)
+    full = {k: ref_grad0.get(k, torch.zeros_like(v))
+            for k, v in ref.offset_encoder_net.state_dict().items()}
+    want = cv.convert_offset_encoder(full, config["image_size"])
+    got = our_grad0["offset_encoder"]
+    w_leaves, w_tree = jax.tree_util.tree_flatten(want)
+    g_leaves, g_tree = jax.tree_util.tree_flatten(got)
+    assert w_tree == g_tree
+    num = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+              for a, b in zip(g_leaves, w_leaves))
+    den = sum(float(np.abs(np.asarray(b)).sum()) for b in w_leaves) + 1e-12
+    rel = num / den
+    print(f"step2 iteration-0 offset-encoder grad rel-L1: {rel:.2e}")
+    assert rel < 5e-3, rel
 
 
 @pytest.mark.slow

@@ -63,7 +63,24 @@ def test_instance_parallel_stage():
     assert not np.allclose(depths[0], depths[1])
 
     recon_im, recon_depth = trainer.evaluate(images)
-    assert recon_im.shape == (n, 1, 3, 64, 64)
+    assert recon_im.shape == (n, 3, 64, 64)
+    assert recon_depth.shape == (n, 64, 64)
+
+    # Adam moments persist across fit calls (stage-split fits continue the
+    # same trajectory, matching the sequential Trainer's self.opt_states):
+    # the Adam step counter accumulates across both fits
+    def step1_count(states):
+        return int(np.asarray(
+            [l for l in jax.tree_util.tree_leaves(states[0])
+             if l.dtype == jnp.int32][0]).max())
+    assert step1_count(trainer.opt_states) == 1
+    trainer.fit(images, latents,
+                stages=[{"step1": 1, "step2": 1, "step3": 1}])
+    assert step1_count(trainer.opt_states) == 2
+    trainer.fit(images, latents,
+                stages=[{"step1": 1, "step2": 1, "step3": 1}],
+                reset_opt=True)
+    assert step1_count(trainer.opt_states) == 1
 
 
 @pytest.mark.slow

@@ -35,11 +35,14 @@ def main():
         "learning_rate": 1e-4, "prior_name": "box",
         "rot_center_depth": 1.0, "fov": 10,
     }
+    if "--no-chunk" in sys.argv:
+        config["compile_chunk"] = 0  # the round-2 behavior: 7 distinct jits
     stages = [{"step1": 700, "step2": 700, "step3": 600}] + \
         [{"step1": 200, "step2": 500, "step3": 400}] * 3
     n_steps = 1000 + sum(sum(s.values()) for s in stages)
 
     trainer = Trainer(config)
+    entries0 = _cache_entries()
     rng = np.random.default_rng(0)
 
     def instance(seed):
@@ -68,10 +71,27 @@ def main():
                          for k, v in h2[-1].items()
                          if k.startswith("loss")},
         "device": str(jax.devices()[0]),
+        "compile_chunk": trainer.compile_chunk,
+        "persistent_cache_entries_at_start": entries0,
     }
-    with open(os.path.join(_ROOT, "FULL_RUN.json"), "w") as f:
+    out = "FULL_RUN.json"
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out = a.split("=", 1)[1]
+    with open(os.path.join(_ROOT, out), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
+
+
+def _cache_entries():
+    """How many persistent-compilation-cache artifacts existed when we
+    started (0 => this run's first_instance_s is a true cold number)."""
+    import jax
+    path = jax.config.jax_compilation_cache_dir
+    try:
+        return len(os.listdir(path)) if path else 0
+    except OSError:
+        return 0
 
 
 if __name__ == "__main__":
