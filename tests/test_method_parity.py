@@ -258,6 +258,33 @@ def ref_env(tmp_path_factory):
     return ref, config, vgg_random
 
 
+@pytest.fixture(scope="module")
+def ref_env512(ref_env, tmp_path_factory):
+    """z_dim=512 sibling of ref_env (environment patching shared): the
+    reference's OffsetEncoder hardcodes a 512-dim latent offset
+    (reference networks.py:182-209), so step 2 only composes at z_dim=512."""
+    tmp = tmp_path_factory.mktemp("ref_assets_512")
+    _, config64, vgg_random = ref_env
+
+    torch.manual_seed(1)
+    gan_size, z_dim = 32, 512
+    import model as tsg
+    g = tsg.Generator(gan_size, z_dim, 8, channel_multiplier=1)
+    d = tsg.Discriminator(gan_size, channel_multiplier=1)
+    gan_ckpt = tmp / "gan.pth"
+    torch.save({"g_ema": g.state_dict(), "d": d.state_dict()}, gan_ckpt)
+
+    # the gan_size=32 discriminator has exactly 3 conv features before its
+    # mb-stddev/final path, which only accepts gan_size inputs — step 2
+    # feeds image_size inputs, so both sides early-exit at 3 features
+    config = dict(config64, z_dim=z_dim, gan_size=gan_size,
+                  gan_ckpt_path=str(gan_ckpt), disc_ftr_num=3)
+    import GAN2Shape.model as tgmodel
+    ref = tgmodel.GAN2Shape(config)
+    ref.discriminator_loss.ftr_num = 3
+    return ref, config, vgg_random
+
+
 def _convert_all(ref, config, vgg_random):
     """Reference nets (random-initialized) -> this framework's pytrees."""
     from gan2shape_tpu.core.model import GAN2Shape
@@ -349,13 +376,13 @@ def test_step1_trajectory_parity(ref_env, rng):
 
 
 @pytest.mark.slow
-def test_step2_trajectory_parity(ref_env, rng):
+def test_step2_trajectory_parity(ref_env512, rng):
     """Composed step-2 GAN-inversion optimization (offset encoder +
     style_forward projection + invert + discriminator feature loss +
     offset regularization, reference model.py:175-223) against the torch
     reference, with one identical pseudo-sample pool injected into both
     sides."""
-    ref, config, vgg_random = ref_env
+    ref, config, vgg_random = ref_env512
     model, params, frozen = _convert_all(ref, config, vgg_random)
     n_iters = 6
     n_proj = 2
