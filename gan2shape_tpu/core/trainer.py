@@ -382,15 +382,6 @@ class Trainer:
         log.info("finished training")
         return history
 
-    def _log_wandb(self, record):
-        if not self.log_wandb:
-            return
-        try:
-            import wandb
-            wandb.log(record)
-        except ImportError:
-            pass
-
     def _log_wandb_iters(self, stage_i, data_index, total_it, l1, l2, l3):
         """Per-iteration wandb records with the reference's exact keys
         (trainer.py:111-115: stage, total_it, loss_step{k}, image_num).

@@ -12,6 +12,8 @@ scatter-adds — the exact transpose XLA produced for the old per-tap
 formulation, which was fast.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -41,19 +43,20 @@ def _gather_fwd(op, starts):
 
 
 def _gather_bwd(res, g):
-    # four per-tap scatter-adds; a single concatenated scatter was measured
-    # EQUAL-or-worse (XLA scatter cost is per-update, not per-op)
+    # Pixel-grid splats on TPU route to the displacement-decomposed Pallas
+    # kernel (ops/splat_window.py) — no scatter at all; anything else falls
+    # back to four flat per-tap scatter-adds.  A single concatenated scatter
+    # was measured EQUAL-or-worse (XLA scatter cost is per-update, not
+    # per-op), and a hand-written WINDOWED scatter-add (one index per pixel,
+    # update_window_dims=(2,2,C)) took step 1 from 4.7 to 92.7 ms/iter —
+    # windowed TPU scatters are pathological per se, not just via XLA's
+    # auto-transpose legalization; do not revisit.
     starts, shape = res
-    b, h, w, c = shape
-    iy = starts[..., 0]
-    ix = starts[..., 1]
-    dflat = jnp.zeros((b, h * w, c), g.dtype)
-    batch = jnp.arange(b)[:, None]
-    for a in (0, 1):
-        for s in (0, 1):
-            idx = (iy + a) * w + (ix + s)
-            dflat = dflat.at[batch, idx].add(g[:, :, a, s])
-    return dflat.reshape(b, h, w, c), None
+    if os.environ.get("G2S_SPLAT", "pallas") == "pallas":
+        from gan2shape_tpu.ops.splat_window import splat_window2x2_add
+        return splat_window2x2_add(g, starts, shape), None
+    from gan2shape_tpu.ops.splat_window import _splat_flat4
+    return _splat_flat4(g, starts, shape), None
 
 
 gather_window2x2.defvjp(_gather_fwd, _gather_bwd)

@@ -1021,6 +1021,14 @@ def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
     # index, cutting the index count 9x.
     ci = jnp.clip(cell.astype(jnp.int32) // (w - 1), 0, h - 2)
     cj = jnp.clip(cell.astype(jnp.int32) - ci * (w - 1), 0, w - 2)
+    # uncovered pixels (cell == -1) receive zero cotangent through the
+    # `covered` select below; anchor their gather window at the pixel itself
+    # so the backward splat's data-driven displacement bounds stay warp-
+    # sized instead of jumping to the clip corner (ops/splat_window.py)
+    py = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+    ci = jnp.where(covered, ci, jnp.minimum(py, h - 2))
+    cj = jnp.where(covered, cj, jnp.minimum(px, w - 2))
     starts = jnp.stack([ci.reshape(b, h * w), cj.reshape(b, h * w)], -1)
 
     from gan2shape_tpu.ops.gather_window import gather_window2x2

@@ -166,3 +166,52 @@ def test_crop():
     out = crop(x, 4)
     assert out.shape == (1, 1, 4, 4)
     assert out[0, 0, 0, 0] == 7.0
+
+
+# ---- gather_window2x2 / splat_window (the windowed gather + its transpose)
+
+
+def test_gather_window_vjp_is_exact_transpose(rng):
+    """The hand-written VJP (ops/splat_window._splat_flat4 on CPU) must equal
+    XLA's automatic transpose of the same windowed gather."""
+    from gan2shape_tpu.ops.gather_window import (
+        gather_window2x2, _gather_fwd_impl)
+
+    b, h, w, c, p = 2, 16, 24, 3, 50
+    op = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    starts = jnp.asarray(np.stack([
+        np.stack([rng.integers(0, h - 1, p),
+                  rng.integers(0, w - 1, p)], -1)
+        for _ in range(b)]).astype(np.int32))
+    g = jnp.asarray(rng.standard_normal((b, p, 2, 2, c)).astype(np.float32))
+
+    out, vjp = jax.vjp(lambda o: gather_window2x2(o, starts), op)
+    out_ref, vjp_ref = jax.vjp(lambda o: _gather_fwd_impl(o, starts), op)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    np.testing.assert_allclose(np.asarray(vjp(g)[0]),
+                               np.asarray(vjp_ref(g)[0]), rtol=0, atol=1e-5)
+
+
+def test_splat_flat4_matches_dense_oracle(rng):
+    """_splat_flat4 (the XLA scatter fallback and the Pallas kernel's oracle
+    in tools/check_splat_tpu.py) vs a numpy loop."""
+    from gan2shape_tpu.ops.splat_window import splat_window2x2_add
+
+    b, h, w, c, p = 2, 8, 8, 2, 40
+    shape = (b, h, w, c)
+    starts = np.stack([np.stack([rng.integers(0, h - 1, p),
+                                 rng.integers(0, w - 1, p)], -1)
+                       for _ in range(b)]).astype(np.int32)
+    g = rng.standard_normal((b, p, 2, 2, c)).astype(np.float32)
+
+    want = np.zeros(shape, np.float32)
+    for bi in range(b):
+        for pi in range(p):
+            y, x = starts[bi, pi]
+            for a in (0, 1):
+                for s in (0, 1):
+                    want[bi, y + a, x + s] += g[bi, pi, a, s]
+
+    got = np.asarray(splat_window2x2_add(
+        jnp.asarray(g), jnp.asarray(starts), shape))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

@@ -1,0 +1,163 @@
+"""Numerical verification of the displacement-decomposed Pallas splat
+(ops/splat_window.py) against the XLA flat per-tap scatter-add oracle.
+
+Three regimes:
+  1. warp-like starts (smooth, small displacement — the training regime);
+  2. adversarial uniform-random starts (worst-case displacement bounds);
+  3. the REAL step-3 gradient: one full step-3 loss gradient with the
+     Pallas splat vs with the XLA scatter path, compared leaf-by-leaf.
+
+Writes SPLAT_CHECK.json.  TPU only (the Pallas path is inactive elsewhere).
+
+    python tools/check_splat_tpu.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gan2shape_tpu.ops.splat_window import (
+        splat_window2x2_add, _splat_flat4, _splat_ok,
+    )
+
+    if jax.devices()[0].platform != "tpu":
+        print(json.dumps({"ok": None, "skipped": "not on TPU"}))
+        return
+
+    results = {"ok": True, "cases": {}}
+    rng = np.random.default_rng(0)
+    b, h, w, c = 4, 128, 128, 3
+    shape = (b, h, w, c)
+    p = h * w
+
+    def compare(name, starts):
+        g = jnp.asarray(
+            rng.standard_normal((b, p, 2, 2, c)).astype(np.float32))
+        starts = jnp.asarray(starts.astype(np.int32))
+        assert _splat_ok(shape, g)
+        want = np.asarray(jax.jit(_splat_flat4, static_argnums=2)(
+            g, starts, shape))
+        got = np.asarray(jax.jit(splat_window2x2_add, static_argnums=2)(
+            g, starts, shape))
+        err = float(np.abs(got - want).max())
+        scale = float(np.abs(want).max())
+        entry = {"max_abs_err": err, "scale": scale,
+                 "pass": bool(err <= 1e-4 * max(scale, 1.0))}
+        results["cases"][name] = entry
+        results["ok"] = results["ok"] and entry["pass"]
+        print(f"{name}: max_abs_err={err:.3e} (scale {scale:.1f}) "
+              f"pass={entry['pass']}", file=sys.stderr)
+
+    # 1. warp-like: pixel + smooth displacement field (+-6 px)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dy = (5.0 * np.sin(yy / 17.0) * np.cos(xx / 23.0)).astype(np.int32)
+    dx = (5.0 * np.cos(yy / 13.0) * np.sin(xx / 19.0)).astype(np.int32)
+    sy = np.clip(yy + dy, 0, h - 2)
+    sx = np.clip(xx + dx, 0, w - 2)
+    warp = np.stack([np.stack([sy.reshape(-1), sx.reshape(-1)], -1)] * b)
+    compare("warp_like", warp)
+
+    # 2. adversarial: uniform random starts (collisions + max-range bounds)
+    rand = np.stack([np.stack([
+        rng.integers(0, h - 1, p), rng.integers(0, w - 1, p)], -1)
+        for _ in range(b)])
+    compare("adversarial_random", rand)
+
+    # 3. degenerate: every pixel hits one cell (maximal collision pile-up)
+    ones = np.tile(np.array([[7, 9]], np.int64), (p, 1))
+    compare("all_collide", np.stack([ones] * b))
+
+    # 4. real step-3 gradient equivalence (trace-time env switch)
+    from gan2shape_tpu.core.trainer import Trainer
+    config = {
+        "image_size": 128, "gan_size": 128, "z_dim": 512,
+        "channel_multiplier": 1, "category": "face",
+        "n_proj_samples": 16, "n_epochs_prior": 10,
+        "learning_rate": 1e-4, "prior_name": "box",
+        "rot_center_depth": 1.0, "fov": 10,
+    }
+    # exact-f32 matmuls: this case checks splat-path equivalence, so isolate
+    # it from bf16 graph noise (the two graphs fuse differently under
+    # 'default' precision — measured 1.3e-2 worst-leaf rel there vs 2.6e-4
+    # here; bf16 fidelity is PRECISION_CHECK.json's job, not this tool's)
+    config["matmul_precision"] = "highest"
+    t = Trainer(config, seed=0)
+    image = jnp.asarray(rng.uniform(-1, 1, (1, 3, 128, 128))
+                        .astype(np.float32))
+    latent = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+    prior = jnp.asarray(np.full((128, 128), 1.0, np.float32))
+    pd, _, _ = t._run_prior(t.params["depth"],
+                            t.optimizers[1].init(t.params["depth"]),
+                            image, prior, n_iters=10)
+    t.params["depth"] = pd
+    p1, t.opt_states[1], coll, _ = t._run_step1(
+        t.params, t.opt_states[1], t.frozen, image, n_iters=5)
+    t.params = p1
+    p2, t.opt_states[2], coll2, _ = t._run_step2(
+        t.params, t.opt_states[2], t.frozen, image, latent, coll,
+        jax.random.PRNGKey(3), n_iters=5, n_proj=16)
+    t.params = p2
+
+    from gan2shape_tpu.core.trainer import _split, STEP_SUBSETS
+    sub, rest = _split(t.params, STEP_SUBSETS[3])
+    model = t.model
+
+    def grads_with(env):
+        os.environ["G2S_SPLAT"] = env
+
+        @jax.jit
+        def gfn(sub):
+            def loss_fn(sub):
+                return model.forward_step3({**rest, **sub}, t.frozen,
+                                           image, latent, coll2)[0]
+            return jax.value_and_grad(loss_fn)(sub)
+        out = jax.block_until_ready(gfn(sub))
+        del os.environ["G2S_SPLAT"]
+        return out
+
+    (l_p, g_p) = grads_with("pallas")
+    (l_f, g_f) = grads_with("flat")
+    worst = 0.0
+    leaves = []
+    fp = jax.tree_util.tree_flatten_with_path(g_p)[0]
+    ff = jax.tree_util.tree_flatten_with_path(g_f)[0]
+    for (path, a), (_, bleaf) in zip(fp, ff):
+        num = float(jnp.abs(a - bleaf).max())
+        den = float(jnp.abs(bleaf).max()) + 1e-20
+        leaves.append((num / den, jax.tree_util.keystr(path), den))
+        worst = max(worst, num / den)
+    leaves.sort(reverse=True)
+    for rel, name, mag in leaves[:5]:
+        print(f"  leaf {name}: rel={rel:.3e} |g|max={mag:.3e}",
+              file=sys.stderr)
+    entry = {
+        "loss_pallas": float(l_p), "loss_flat": float(l_f),
+        "matmul_precision": "highest",
+        "worst_leaf_rel_err": worst,
+        "pass": bool(abs(float(l_p) - float(l_f))
+                     <= 1e-5 * max(abs(float(l_f)), 1.0)
+                     and worst < 1e-3),
+    }
+    results["cases"]["step3_gradient"] = entry
+    results["ok"] = results["ok"] and entry["pass"]
+    print(f"step3_gradient: worst leaf rel err {worst:.3e} "
+          f"pass={entry['pass']}", file=sys.stderr)
+
+    with open(os.path.join(_ROOT, "SPLAT_CHECK.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+    sys.exit(0 if results["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
