@@ -67,9 +67,11 @@ def main():
         "steady_state_steps_per_sec": round(n_steps / steady_s, 2),
         "north_star_s": 300,
         "meets_north_star": steady_s <= 300,
+        # records also carry full per-iteration curves under losses_* since
+        # the observability rework; report just the final scalars here
         "final_losses": {k: round(float(v), 4)
                          for k, v in h2[-1].items()
-                         if k.startswith("loss")},
+                         if k.startswith("loss_")},
         "device": str(jax.devices()[0]),
         "compile_chunk": trainer.compile_chunk,
         "persistent_cache_entries_at_start": entries0,
