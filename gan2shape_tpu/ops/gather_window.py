@@ -60,3 +60,114 @@ def _gather_bwd(res, g):
 
 
 gather_window2x2.defvjp(_gather_fwd, _gather_bwd)
+
+
+# ---- pixel-grid plane-layout variant -------------------------------------
+#
+# When the P axis IS the pixel grid (P == H*W, one window per output pixel —
+# the rasterizer's re-interpolation and pixel-aligned grid_sample), the
+# (B, P, 2, 2, C) patch layout forces XLA relayout copies on both sides
+# (~1 ms/iter each at b=16) and the windowed gather itself costs ~17 ns per
+# index (5.5 ms/iter).  This variant keeps everything in (tap, channel)
+# PLANES over the pixel grid: the forward is the displacement-decomposed
+# Pallas fetch and the backward the matching Pallas splat — no gather, no
+# scatter, no layout change end to end.
+
+
+def _pixel_grid_ok(b, h, w, c, dtype):
+    if c != 3 or dtype != jnp.float32:
+        return False
+    if h % 8 != 0 or w % 128 != 0 or h < 16:
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
+def _disp(iy, ix, h, w):
+    py = jax.lax.broadcasted_iota(jnp.int32, iy.shape, 1)
+    px = jax.lax.broadcasted_iota(jnp.int32, ix.shape, 2)
+    return iy.astype(jnp.int32) - py, ix.astype(jnp.int32) - px
+
+
+@jax.custom_vjp
+def gather_window2x2_planes(src, iy, ix):
+    """src: (B, C, H, W); iy/ix: (B, H, W) int32 window starts, clipped to
+    [0, H-2] x [0, W-2].  Returns planes (B, 2, 2, C, H, W) with
+    out[b, a, s, c, y, x] = src[b, c, iy[y, x]+a, ix[y, x]+s]."""
+    return _planes_fwd_impl(src, iy, ix)
+
+
+def _area(dyv, dxv):
+    """Displacement bounding-box area: the number of (dy, dx) passes the
+    displacement-decomposed kernels pay.  Small for smooth near-identity
+    warps (the rasterizer re-interpolation, converged-training views);
+    large for the pseudo-sample pool's randomly sampled views."""
+    return ((jnp.max(dyv) - jnp.min(dyv) + 1)
+            * (jnp.max(dxv) - jnp.min(dxv) + 1))
+
+
+def _area_limit():
+    # breakeven between area x (12 masked rolls over (h, w)) and the XLA
+    # windowed gather (~17 ns/index + relayout copies); measured on the
+    # step mix — see PERF_NOTES.md
+    return jnp.int32(int(os.environ.get("G2S_FETCH_AREA_LIMIT", "64")))
+
+
+def _planes_fwd_impl(src, iy, ix):
+    b, c, h, w = src.shape
+    iy = jnp.clip(iy.astype(jnp.int32), 0, h - 2)
+    ix = jnp.clip(ix.astype(jnp.int32), 0, w - 2)
+
+    def xla_path(src, iy, ix):
+        starts = jnp.stack([iy.reshape(b, h * w), ix.reshape(b, h * w)], -1)
+        patch = _gather_fwd_impl(src.transpose(0, 2, 3, 1), starts)
+        return (patch.transpose(0, 2, 3, 4, 1)  # (B, 2, 2, C, P)
+                .reshape(b, 2, 2, c, h, w))
+
+    if (_pixel_grid_ok(b, h, w, c, src.dtype)
+            and os.environ.get("G2S_FETCH", "pallas") == "pallas"):
+        from gan2shape_tpu.ops.splat_window import _fetch_pallas
+        dyv, dxv = _disp(iy, ix, h, w)
+
+        def pallas_path(src, iy, ix):
+            out = _fetch_pallas(src, dyv, dxv, h, w, c)  # (B, 4C, h, w)
+            return out.reshape(b, 2, 2, c, h, w)
+
+        return jax.lax.cond(_area(dyv, dxv) <= _area_limit(),
+                            pallas_path, xla_path, src, iy, ix)
+    return xla_path(src, iy, ix)
+
+
+def _planes_fwd(src, iy, ix):
+    return _planes_fwd_impl(src, iy, ix), (iy, ix, src.shape)
+
+
+def _planes_bwd(res, g):
+    iy, ix, shape = res
+    b, c, h, w = shape
+    iy = jnp.clip(iy.astype(jnp.int32), 0, h - 2)
+    ix = jnp.clip(ix.astype(jnp.int32), 0, w - 2)
+    g = g.astype(jnp.float32)
+
+    def flat_path(g, iy, ix):
+        from gan2shape_tpu.ops.splat_window import _splat_flat4
+        starts = jnp.stack([iy.reshape(b, h * w), ix.reshape(b, h * w)], -1)
+        gp = (g.reshape(b, 2, 2, c, h * w)
+              .transpose(0, 4, 1, 2, 3))  # (B, P, 2, 2, C)
+        dsrc = _splat_flat4(gp, starts, (b, h, w, c))  # (B, H, W, C)
+        return dsrc.transpose(0, 3, 1, 2)
+
+    if (_pixel_grid_ok(b, h, w, c, jnp.float32)
+            and os.environ.get("G2S_SPLAT", "pallas") == "pallas"):
+        from gan2shape_tpu.ops.splat_window import _splat_pallas
+        dyv, dxv = _disp(iy, ix, h, w)
+
+        def pallas_path(g, iy, ix):
+            return _splat_pallas(g.reshape(b, 4 * c, h, w), dyv, dxv, h, w)
+
+        dsrc = jax.lax.cond(_area(dyv, dxv) <= _area_limit(),
+                            pallas_path, flat_path, g, iy, ix)
+        return dsrc, None, None
+    return flat_path(g, iy, ix), None, None
+
+
+gather_window2x2_planes.defvjp(_planes_fwd, _planes_bwd)

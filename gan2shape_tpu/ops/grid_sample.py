@@ -59,13 +59,45 @@ def grid_sample(x, grid, mode="bilinear"):
     wy1 = gy - y0
     wy0 = 1.0 - wy1
 
-    # one windowed gather of the 2x2 neighborhood per sample
-    from gan2shape_tpu.ops.gather_window import gather_window2x2
-
     x0c = jnp.clip(ix0, 0, w - 2)
     y0c = jnp.clip(iy0, 0, h - 2)
     dx = ix0 - x0c  # 0 normally; +-1 at the edges (taps re-selected below)
     dy = iy0 - y0c
+
+    if hg == h and wg == w:
+        # pixel-aligned sampling (the hot path: warping same-size images):
+        # fetch the 2x2 neighborhoods in PLANE layout — displacement-
+        # decomposed Pallas fetch/splat on TPU, no gather/scatter and no
+        # (B, P, 2, 2, C) relayout; the output is already (B, C, H, W)
+        from gan2shape_tpu.ops.gather_window import gather_window2x2_planes
+
+        planes = gather_window2x2_planes(
+            x, y0c.reshape(b, h, w), x0c.reshape(b, h, w))
+        dyg = dy.reshape(b, 1, h, w)
+        dxg = dx.reshape(b, 1, h, w)
+
+        def tap_p(a, bb):
+            ra = jnp.clip(dyg + a, 0, 1) == 1
+            rb = jnp.clip(dxg + bb, 0, 1) == 1
+            p0 = jnp.where(rb, planes[:, 0, 1], planes[:, 0, 0])
+            p1 = jnp.where(rb, planes[:, 1, 1], planes[:, 1, 0])
+            return jnp.where(ra, p1, p0)  # (B, C, H, W)
+
+        out = jnp.zeros((b, c, h, w), x.dtype)
+        for a, wy in ((0, wy0), (1, wy1)):
+            for bb, wx in ((0, wx0), (1, wx1)):
+                jj = ix0 + bb
+                ii = iy0 + a
+                valid = ((jj >= 0) & (jj <= w - 1)
+                         & (ii >= 0) & (ii <= h - 1))
+                wgt = ((wy * wx) * valid.astype(x.dtype)
+                       ).reshape(b, 1, h, w)
+                out = out + tap_p(a, bb) * wgt
+        return out
+
+    # general sizes: one windowed gather of the 2x2 neighborhood per sample
+    from gan2shape_tpu.ops.gather_window import gather_window2x2
+
     starts = jnp.stack([y0c, x0c], -1)  # (B, P, 2)
     xhwc = x.transpose(0, 2, 3, 1)  # (B, H, W, C)
     patch = gather_window2x2(xhwc, starts)  # (B, P, 2, 2, C)

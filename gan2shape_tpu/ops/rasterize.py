@@ -1014,50 +1014,45 @@ def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
     par = sg(par)
     covered = sg(covered)
 
-    # winner cell -> its 2x2 corner block, fetched as ONE windowed gather of
-    # the packed (x, y, z) fields: per-element gathers cost ~17 ns/index on
-    # TPU (3 separate vertex gathers measured 36 ms/iter at b=16); a single
-    # gather with slice_sizes (2, 2, 3) moves the whole corner block per
-    # index, cutting the index count 9x.
+    # winner cell -> its 2x2 corner block, fetched in PLANE layout: the
+    # displacement-decomposed Pallas fetch (no gather — XLA windowed gathers
+    # cost ~17 ns/index, 5.5 ms/iter at b=16) keeps all tap/coord planes on
+    # the pixel grid, so the barycentric math below runs on (B, H, W)
+    # arrays with no (B, P, 2, 2, C) relayout at either end.
     ci = jnp.clip(cell.astype(jnp.int32) // (w - 1), 0, h - 2)
     cj = jnp.clip(cell.astype(jnp.int32) - ci * (w - 1), 0, w - 2)
     # uncovered pixels (cell == -1) receive zero cotangent through the
     # `covered` select below; anchor their gather window at the pixel itself
-    # so the backward splat's data-driven displacement bounds stay warp-
-    # sized instead of jumping to the clip corner (ops/splat_window.py)
+    # so the fetch/splat data-driven displacement bounds stay warp-sized
+    # instead of jumping to the clip corner (ops/splat_window.py)
     py = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
     px = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
     ci = jnp.where(covered, ci, jnp.minimum(py, h - 2))
     cj = jnp.where(covered, cj, jnp.minimum(px, w - 2))
-    starts = jnp.stack([ci.reshape(b, h * w), cj.reshape(b, h * w)], -1)
+    ci = jnp.broadcast_to(ci, (b, h, w))
+    cj = jnp.broadcast_to(cj, (b, h, w))
 
-    from gan2shape_tpu.ops.gather_window import gather_window2x2
+    from gan2shape_tpu.ops.gather_window import gather_window2x2_planes
 
-    allv = jnp.stack([vx, vy, vz], -1)  # (B, H, W, 3)
-    patch = gather_window2x2(allv, starts)  # (B, P, 2, 2, 3)
-    p_tl = patch[:, :, 0, 0]
-    p_bl = patch[:, :, 1, 0]
-    p_tr = patch[:, :, 0, 1]
-    p_br = patch[:, :, 1, 1]
+    allv = jnp.stack([vx, vy, vz], 1)  # (B, 3, H, W)
+    planes = gather_window2x2_planes(allv, ci, cj)  # (B, 2, 2, 3, H, W)
+    p_tl = planes[:, 0, 0]
+    p_bl = planes[:, 1, 0]
+    p_tr = planes[:, 0, 1]
+    p_br = planes[:, 1, 1]  # each (B, 3coords, H, W)
     # upper tri = (tl, bl, tr), lower = (tr, bl, br) (grid_faces order)
-    is_up = (par < 0.5).reshape(b, h * w, 1)
+    is_up = (par < 0.5)[:, None]  # (B, 1, H, W)
     pv0 = jnp.where(is_up, p_tl, p_tr)
     pv1 = p_bl
     pv2 = jnp.where(is_up, p_tr, p_br)
-    tri_v = jnp.stack([pv0, pv1, pv2], 2)  # (B, P, 3verts, 3coords)
-    tx = tri_v[..., 0]
-    ty = tri_v[..., 1]
-    tz = tri_v[..., 2]
-    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=dtype),
-                          jnp.arange(w, dtype=dtype), indexing="ij")
-    px = jnp.broadcast_to(gx.reshape(1, -1), (b, h * w))
-    py = jnp.broadcast_to(gy.reshape(1, -1), (b, h * w))
+    gx = jax.lax.broadcasted_iota(dtype, (1, h, w), 2)
+    gy = jax.lax.broadcasted_iota(dtype, (1, h, w), 1)
     l0, l1, l2, _ = _barycentric(
-        px, py, tx[..., 0], ty[..., 0], tx[..., 1], ty[..., 1],
-        tx[..., 2], ty[..., 2])
-    inv_z = l0 / tz[..., 0] + l1 / tz[..., 1] + l2 / tz[..., 2]
+        gx, gy, pv0[:, 0], pv0[:, 1], pv1[:, 0], pv1[:, 1],
+        pv2[:, 0], pv2[:, 1])
+    inv_z = l0 / pv0[:, 2] + l1 / pv1[:, 2] + l2 / pv2[:, 2]
     z = 1.0 / jnp.maximum(inv_z, 1e-12)
-    return jnp.where(covered, z.reshape(b, h, w), jnp.asarray(far, dtype))
+    return jnp.where(covered, z, jnp.asarray(far, dtype))
 
 
 def rasterize_depth(xs, ys, zs, faces, h, w, window=5, near=0.3, far=1.3,

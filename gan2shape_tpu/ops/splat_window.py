@@ -123,6 +123,83 @@ def _splat_pallas(g12, dyv, dxv, h, w):
     )(g12, dyv, dxv)
 
 
+def _fetch_pallas(src, dyv, dxv, h, w, c):
+    """Forward mirror of `_splat_pallas`: displacement-decomposed 2x2-window
+    FETCH.  src: (B, C, h, w) f32 channel planes; dyv/dxv: (B, h, w) int32
+    displacement of each destination pixel's window base (iy - y, ix - x),
+    with iy in [0, h-2] and ix in [0, w-2].  Returns (B, 4*C, h, w) where
+    plane (a*2+s)*C + ch holds src[ch][y+dy+a, x+dx+s].
+
+    Same trick as the splat: XLA's windowed gather costs ~17 ns per index
+    (5.5 ms/iter at b=16 in steps 2 and 3, trace-verified), but on the
+    pixel-grid paths the index field is pixel + small smooth displacement,
+    so the gather decomposes into O(displacement-range) masked vector
+    shifts — dynamic sublane slices for rows, `pltpu.roll` for lanes, and
+    a destination-side select (no no-wrap masks needed here: clipped
+    starts guarantee every selected source is in bounds)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = src.shape[0]
+    cap = h - 1
+    src_rows = 2 * cap + h  # row slices [cap+dy+a, +h) stay in range
+    nplanes = 4 * c
+
+    def kernel(s_ref, dy_ref, dx_ref, out_ref, srcf):
+        dyp = dy_ref[0]
+        dxp = dx_ref[0]
+        dy_lo = jnp.min(dyp)
+        dy_hi = jnp.max(dyp)
+        dx_lo = jnp.min(dxp)
+        dx_hi = jnp.max(dxp)
+
+        for ch in range(c):
+            srcf[ch, cap:cap + h, :] = s_ref[0, ch]
+        for p in range(nplanes):
+            out_ref[0, p] = jnp.zeros((h, w), jnp.float32)
+
+        def dy_body(dy, _):
+            # rows [cap+dy+a, +h): uninitialized rows are only ever read at
+            # destinations whose mask is false (iy = y+dy >= 0 wherever the
+            # select takes the rolled value)
+            sl = [[srcf[ch, pl.ds(cap + dy + a, h), :] for ch in range(c)]
+                  for a in (0, 1)]
+            m_row = dyp == dy
+
+            def dx_body(dx, _):
+                m = m_row & (dxp == dx)
+                for a in (0, 1):
+                    for s in (0, 1):
+                        shift = jnp.remainder(-(dx + s), w)
+                        for ch in range(c):
+                            rolled = pltpu.roll(sl[a][ch], shift, 1)
+                            plane = (a * 2 + s) * c + ch
+                            out_ref[0, plane] = jnp.where(
+                                m, rolled, out_ref[0, plane])
+                return 0
+
+            jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, 0)
+            return 0
+
+        jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, 0)
+        return
+
+    spec_s = pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, nplanes, h, w), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_s, spec_d, spec_d],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((b, nplanes, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, src_rows, w), jnp.float32)],
+    )(src, dyv, dxv)
+
+
 def _splat_ok(shape, g):
     """Pallas path applies when: TPU, P == h*w (pixel-grid calls), C == 3,
     f32, and lane-aligned width."""

@@ -215,3 +215,32 @@ def test_splat_flat4_matches_dense_oracle(rng):
     got = np.asarray(splat_window2x2_add(
         jnp.asarray(g), jnp.asarray(starts), shape))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_gather_window_planes_matches_patch_layout(rng):
+    """gather_window2x2_planes must equal the (B,P,2,2,C) gather re-laid
+    into planes, and its VJP must equal the flat-scatter transpose."""
+    from gan2shape_tpu.ops.gather_window import (
+        gather_window2x2, gather_window2x2_planes)
+
+    b, c, h, w = 2, 3, 16, 24
+    src = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+    iy = jnp.asarray(rng.integers(0, h - 1, (b, h, w)).astype(np.int32))
+    ix = jnp.asarray(rng.integers(0, w - 1, (b, h, w)).astype(np.int32))
+    starts = jnp.stack([iy.reshape(b, -1), ix.reshape(b, -1)], -1)
+
+    def via_patch(src):
+        patch = gather_window2x2(src.transpose(0, 2, 3, 1), starts)
+        return (patch.reshape(b, h, w, 2, 2, c)
+                .transpose(0, 3, 4, 5, 1, 2))
+
+    def via_planes(src):
+        return gather_window2x2_planes(src, iy, ix)
+
+    out_a, vjp_a = jax.vjp(via_patch, src)
+    out_b, vjp_b = jax.vjp(via_planes, src)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_a))
+    g = jnp.asarray(
+        rng.standard_normal((b, 2, 2, c, h, w)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(vjp_b(g)[0]),
+                               np.asarray(vjp_a(g)[0]), rtol=0, atol=1e-5)

@@ -73,6 +73,30 @@ def main():
         for _ in range(b)])
     compare("adversarial_random", rand)
 
+    # 1b/2b. the forward FETCH kernel (gather_window2x2_planes) vs the XLA
+    # windowed-gather fallback, same two regimes
+    from gan2shape_tpu.ops.gather_window import gather_window2x2_planes
+
+    def compare_fetch(name, starts):
+        src = jnp.asarray(
+            rng.standard_normal((b, c, h, w)).astype(np.float32))
+        iy = jnp.asarray(starts[..., 0].reshape(b, h, w).astype(np.int32))
+        ix = jnp.asarray(starts[..., 1].reshape(b, h, w).astype(np.int32))
+        os.environ["G2S_FETCH"] = "xla"
+        want = np.asarray(jax.jit(gather_window2x2_planes)(src, iy, ix))
+        os.environ["G2S_FETCH"] = "pallas"
+        got = np.asarray(jax.jit(gather_window2x2_planes)(src, iy, ix))
+        del os.environ["G2S_FETCH"]
+        err = float(np.abs(got - want).max())
+        entry = {"max_abs_err": err, "pass": bool(err == 0.0)}
+        results["cases"][name] = entry
+        results["ok"] = results["ok"] and entry["pass"]
+        print(f"{name}: max_abs_err={err:.3e} pass={entry['pass']}",
+              file=sys.stderr)
+
+    compare_fetch("fetch_warp_like", warp)
+    compare_fetch("fetch_adversarial", rand)
+
     # 3. degenerate: every pixel hits one cell (maximal collision pile-up)
     ones = np.tile(np.array([[7, 9]], np.int64), (p, 1))
     compare("all_collide", np.stack([ones] * b))
@@ -114,6 +138,7 @@ def main():
 
     def grads_with(env):
         os.environ["G2S_SPLAT"] = env
+        os.environ["G2S_FETCH"] = "pallas" if env == "pallas" else "xla"
 
         @jax.jit
         def gfn(sub):
@@ -123,6 +148,7 @@ def main():
             return jax.value_and_grad(loss_fn)(sub)
         out = jax.block_until_ready(gfn(sub))
         del os.environ["G2S_SPLAT"]
+        del os.environ["G2S_FETCH"]
         return out
 
     (l_p, g_p) = grads_with("pallas")
