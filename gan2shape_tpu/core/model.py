@@ -97,6 +97,9 @@ class GAN2Shape:
         if "matmul_precision" in config:
             from gan2shape_tpu.utils.precision import set_matmul_precision
             set_matmul_precision(config["matmul_precision"])
+        if "act_dtype" in config:
+            from gan2shape_tpu.utils.precision import set_act_dtype
+            set_act_dtype(config["act_dtype"])
         self.z_dim = config.get("z_dim", 512)
         self.image_size = config.get("image_size", 128)
         self.gan_size = config.get("gan_size", self.image_size)

@@ -47,7 +47,7 @@ class Conv2d(nn.Module):
         if self.use_bias:
             b = self.param("bias", _torch_conv_init(fan_in),
                            (self.out_channels,))
-            out = out + b.reshape(1, -1, 1, 1)
+            out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
         return out
 
 

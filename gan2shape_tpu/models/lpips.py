@@ -61,20 +61,28 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, in0, in1):
+        from gan2shape_tpu.utils.precision import act_dtype
+
         shift = jnp.asarray(_SHIFT, in0.dtype).reshape(1, 3, 1, 1)
         scale = jnp.asarray(_SCALE, in0.dtype).reshape(1, 3, 1, 1)
         net = VGG16Features(name="vgg")
 
-        f0 = net((in0 - shift) / scale)
-        f1 = net((in1 - shift) / scale)
+        # frozen VGG trunk runs at the activation-policy dtype (bf16 on TPU,
+        # see utils/precision.py); the unit-norm / diff / head math below is
+        # done in f32 (channel reductions of up to 512 squared terms)
+        adt = act_dtype()
+        f0 = net(((in0 - shift) / scale).astype(adt))
+        f1 = net(((in1 - shift) / scale).astype(adt))
 
         val = 0.0
         for k in range(5):
+            fk0 = f0[k].astype(jnp.float32)
+            fk1 = f1[k].astype(jnp.float32)
             # reference normalize_tensor: x / (||x||_c + 1e-10)
-            n0 = f0[k] / (jnp.sqrt(
-                jnp.sum(f0[k] ** 2, axis=1, keepdims=True)) + 1e-10)
-            n1 = f1[k] / (jnp.sqrt(
-                jnp.sum(f1[k] ** 2, axis=1, keepdims=True)) + 1e-10)
+            n0 = fk0 / (jnp.sqrt(
+                jnp.sum(fk0 ** 2, axis=1, keepdims=True)) + 1e-10)
+            n1 = fk1 / (jnp.sqrt(
+                jnp.sum(fk1 ** 2, axis=1, keepdims=True)) + 1e-10)
             diff = (n0 - n1) ** 2
             if self.lpips_heads:
                 d = Conv2d(_CHNS[k], 1, 1, 1, 0, use_bias=False,

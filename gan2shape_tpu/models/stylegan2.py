@@ -37,7 +37,9 @@ from gan2shape_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
 from gan2shape_tpu.ops.fused_act import (
     fused_leaky_relu, inverse_fused_leaky_relu,
 )
-from gan2shape_tpu.utils.precision import matmul_precision as _PREC_lookup
+from gan2shape_tpu.utils.precision import (
+    matmul_precision as _PREC_lookup, act_dtype,
+)
 
 
 def channel_map(channel_multiplier: int) -> dict:
@@ -104,7 +106,7 @@ class EqualLinear(nn.Module):
         if self.activation == "fused_lrelu":
             return fused_leaky_relu(out, self.bias * self.lr_mul)
         if self.use_bias:
-            out = out + self.bias * self.lr_mul
+            out = out + (self.bias * self.lr_mul).astype(out.dtype)
         return out
 
     def invert(self, x):
@@ -138,7 +140,7 @@ class EqualConv2d(nn.Module):
                       stride=self.stride, padding=self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
-            out = out + b.reshape(1, -1, 1, 1)
+            out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
         return out
 
 
@@ -187,8 +189,11 @@ class ModulatedConv2d(nn.Module):
             # — contract the kernel axes once, then one (B,in)x(in,out) matmul
             # instead of materializing a per-sample weight tensor
             wsq = jnp.sum((self.weight[0] * scale) ** 2, axis=(2, 3))  # (o,i)
+            # demod is a normalization constant: compute it in f32 even under
+            # the bf16 activation policy (squares + 4.6k-term reduction)
             demod = lax.rsqrt(
-                jnp.matmul(style ** 2, wsq.T, precision=_PREC_lookup()) + 1e-8)
+                jnp.matmul(style.astype(jnp.float32) ** 2, wsq.T,
+                           precision=_PREC_lookup()) + 1e-8)
 
         x = x * style[:, :, None, None].astype(x.dtype)
         wgt = (self.weight[0] * scale).astype(x.dtype)
@@ -214,7 +219,7 @@ class NoiseInjection(nn.Module):
     @nn.compact
     def __call__(self, x, noise):
         w = self.param("weight", nn.initializers.zeros, (1,))
-        return x + w * noise
+        return x + (w * noise).astype(x.dtype)
 
 
 class StyledConv(nn.Module):
@@ -262,7 +267,8 @@ class ToRGB(nn.Module):
             self._up_pad = ((p + 1) // 2 + 1, p // 2)
 
     def __call__(self, x, style, skip=None):
-        out = self.conv(x, style) + self.bias
+        out = self.conv(x, style)
+        out = out + self.bias.astype(out.dtype)
         if skip is not None:
             skip = upfirdn2d(skip, self._up_kern, up=2, down=1,
                              pad=self._up_pad, kernel_1d=self._up_kern1d)
@@ -402,6 +408,15 @@ class Generator(nn.Module):
             assert len(styles) == self.n_latent
             latent = jnp.stack(styles, 1)
 
+        # synthesis runs at the activation-policy dtype (bf16 on TPU): the
+        # conv/blur stack is HBM-bandwidth-bound and the weights are frozen,
+        # so only the activation-grad chain sees the truncation (gated by
+        # tools/check_precision.py).  Mapping/truncation math above stays f32.
+        latent_f32 = latent
+        adt = act_dtype()
+        latent = latent.astype(adt)
+        noise = [n.astype(adt) for n in noise]
+
         batch = latent.shape[0]
         out = jnp.tile(self.const_input, (batch, 1, 1, 1)).astype(latent.dtype)
         out = self.conv1(out, latent[:, 0], noise[0])
@@ -418,11 +433,11 @@ class Generator(nn.Module):
             features.append(out)
             i += 2
 
-        image = skip
+        image = skip.astype(jnp.float32)
         if return_features:
-            return image, features
+            return image, [f.astype(jnp.float32) for f in features]
         if return_latents:
-            return image, latent
+            return image, latent_f32
         return image, None
 
     def invert(self, latent_projection, truncation=1.0, mean_latent=None,
@@ -524,12 +539,14 @@ class Discriminator(nn.Module):
         self.final_linear_1 = EqualLinear(chans[4], 1, name="final_linear_1")
 
     def __call__(self, x, ftr_num=100):
-        out = x
+        # frozen stack: run at the activation-policy dtype (see Generator);
+        # feature taps are cast back so the feature-matching loss stays f32
+        out = x.astype(act_dtype())
         features = []
         for i, block in enumerate(self.blocks):
             out = block(out)
             if i > 0:
-                features.append(out)
+                features.append(out.astype(jnp.float32))
             if len(features) >= ftr_num:
                 return jnp.zeros(()), features
 
@@ -543,7 +560,7 @@ class Discriminator(nn.Module):
         out = jnp.concatenate([out, stddev], 1)
 
         out = self.final_conv(out)
-        features.append(out)
+        features.append(out.astype(jnp.float32))
         out = out.reshape(batch, -1)
         out = self.final_linear_1(self.final_linear_0(out))
-        return out, features
+        return out.astype(jnp.float32), features

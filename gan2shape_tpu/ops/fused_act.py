@@ -18,8 +18,11 @@ def fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5):
             b = bias.reshape((1, -1) + (1,) * (x.ndim - 2))
         else:
             b = bias.reshape((1, -1)) if x.ndim == 2 else bias
-        x = x + b
-    return scale * jnp.where(x >= 0, x, x * negative_slope)
+        # cast instead of promoting: under the bf16 activation policy the
+        # stack must stay in x.dtype (f32 bias would silently upcast)
+        x = x + b.astype(x.dtype)
+    return jnp.asarray(scale, x.dtype) * jnp.where(
+        x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))
 
 
 def inverse_fused_leaky_relu(x, bias, negative_slope=0.2, scale=2 ** 0.5):

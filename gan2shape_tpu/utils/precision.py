@@ -15,6 +15,7 @@ at HIGHEST — pixel coordinates at bf16 would corrupt rasterization.
 
 import os
 
+import jax.numpy as jnp
 from jax import lax
 
 _MAP = {
@@ -39,3 +40,34 @@ def set_matmul_precision(name):
 
 def matmul_precision():
     return _current
+
+
+# ---------------------------------------------------------------------------
+# Activation dtype for the FROZEN conv stacks (StyleGAN2 generator /
+# discriminator, LPIPS VGG).  The matmul-precision policy above already runs
+# the MXU passes in bf16; storing the activations in bf16 additionally halves
+# the HBM traffic of every conv/blur/elementwise fusion in those stacks —
+# they are bandwidth-bound at 128px.  Only frozen networks are eligible: they
+# have no weight gradients, so truncation only perturbs the activation-grad
+# chain (gated by tools/check_precision.py like the matmul policy).  Geometry
+# (renderer, rasterizer) and the trainable nets always stay f32.
+#
+# Default (name=None): f32 everywhere until the TPU fidelity gate
+# (tools/check_precision.py) has a committed PRECISION_CHECK.json for the
+# bf16 policy; the gated flip switches this to bf16-on-TPU.  Override via
+# config key `act_dtype` or the G2S_ACT_DTYPE env var.
+_ACT_MAP = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_act_name = os.environ.get("G2S_ACT_DTYPE", None)
+
+
+def set_act_dtype(name):
+    global _act_name
+    _act_name = None if name is None else str(name)
+    if _act_name is not None:
+        assert _act_name in _ACT_MAP, name
+
+
+def act_dtype():
+    if _act_name is not None:
+        return _ACT_MAP[_act_name]
+    return jnp.float32

@@ -185,3 +185,59 @@ def test_mean_latent(rng):
     m = gen.apply(params, jax.random.PRNGKey(7), 256, method="mean_latent")
     assert m.shape == (1, 64)
     assert np.isfinite(np.asarray(m)).all()
+
+
+def test_bf16_activation_policy(rng):
+    """The frozen-stack activation-dtype policy (utils/precision.act_dtype):
+    under 'bfloat16' the generator synthesis and discriminator run their
+    activations in bf16 but return f32 outputs that track the f32 run within
+    bf16 tolerance, and gradients through the frozen stack stay f32."""
+    from gan2shape_tpu.utils.precision import set_act_dtype
+
+    gen = Generator(size=64, style_dim=64, n_mlp=4, channel_multiplier=1)
+    disc = Discriminator(size=64, channel_multiplier=1)
+    noise = _zero_noise(gen)
+    w = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    gp = gen.init(jax.random.PRNGKey(0), [w], noise, input_is_w=True)
+    img32, _ = gen.apply(gp, [w], noise, input_is_w=True)
+    dp = disc.init(jax.random.PRNGKey(1), img32)
+
+    def loss(wv):
+        img, _ = gen.apply(gp, [wv], noise, input_is_w=True)
+        _, feats = disc.apply(dp, img, ftr_num=3)
+        return sum(jnp.mean(jnp.abs(f)) for f in feats)
+
+    l32, g32 = jax.value_and_grad(loss)(w)
+    set_act_dtype("bfloat16")
+    try:
+        img16, _ = gen.apply(gp, [w], noise, input_is_w=True)
+        l16, g16 = jax.value_and_grad(loss)(w)
+    finally:
+        set_act_dtype(None)
+
+    assert img16.dtype == jnp.float32 and g16.dtype == jnp.float32
+    # bf16 has ~2-3 significant decimal digits; images live in [-1, 1]
+    assert float(jnp.max(jnp.abs(img16 - img32))) < 0.1
+    assert float(jnp.abs(l16 - l32) / (jnp.abs(l32) + 1e-8)) < 0.05
+    cos = jnp.sum(g16 * g32) / (jnp.linalg.norm(g16) *
+                                jnp.linalg.norm(g32) + 1e-12)
+    assert float(cos) > 0.95
+
+
+def test_bf16_activation_policy_lpips(rng):
+    from gan2shape_tpu.models.lpips import LPIPS
+    from gan2shape_tpu.utils.precision import set_act_dtype
+
+    m = LPIPS()
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), a, b)
+    d32 = m.apply(params, a, b)
+    set_act_dtype("bfloat16")
+    try:
+        d16 = m.apply(params, a, b)
+    finally:
+        set_act_dtype(None)
+    assert d16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                               rtol=0.05, atol=1e-4)

@@ -1,9 +1,10 @@
-"""TPU sanity check for the bf16 matmul-precision policy (PERF ledger #2).
+"""TPU sanity check for the bf16 precision policies (PERF ledger #2).
 
 Runs N iterations of the full step-1/2/3 optimization from the same init at
-exact-f32 ('highest') and at the shipping policy ('default', single-pass
-bf16) and asserts the loss trajectories track: same direction, bounded
-relative deviation, no NaN/Inf.  Writes PRECISION_CHECK.json.
+exact f32 (matmul 'highest' + f32 activations) and at the shipping policy
+(matmul 'default' single-pass bf16 + bf16 activations in the frozen stacks,
+utils/precision.py) and asserts the loss trajectories track: same direction,
+bounded relative deviation, no NaN/Inf.  Writes PRECISION_CHECK.json.
 
 CPU executes exact f32 for every precision setting, so this check is only
 meaningful on TPU (it exits skipped elsewhere).
@@ -89,8 +90,14 @@ def main():
     results = {"ok": True, "skipped": False, "iters": args.iters,
                "steps": {}}
     trajs = {}
+    worker_env = {
+        "highest": {"G2S_MATMUL_PRECISION": "highest",
+                    "G2S_ACT_DTYPE": "float32"},
+        "default": {"G2S_MATMUL_PRECISION": "default",
+                    "G2S_ACT_DTYPE": "bfloat16"},
+    }
     for prec in ("highest", "default"):
-        env = dict(os.environ, G2S_MATMUL_PRECISION=prec)
+        env = dict(os.environ, **worker_env[prec])
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--iters", str(args.iters), "--n-proj", str(args.n_proj),
