@@ -172,6 +172,15 @@ class Trainer:
             def loss_fn(sub):
                 return model.step1_iter({**rest, **sub}, frozen, images, inv)
 
+            if n_iters == 0:
+                # zero-length chunk (stage schedules step1: 0): no updates,
+                # but step 2 consumes `collected` — return the real albedo
+                _, albedo = loss_fn(sub)
+                collected = (inv["normal"], inv["light_a"], inv["light_b"],
+                             albedo, inv["depth"])
+                return ({**rest, **sub}, opt_state, collected,
+                        jnp.zeros((0,), jnp.float32))
+
             albedo0 = jnp.zeros(jax.eval_shape(loss_fn, sub)[1].shape)
 
             def body(carry, _):
@@ -206,8 +215,17 @@ class Trainer:
                 return model.step2_loss({**rest, **sub}, frozen, latent,
                                         pseudo_im, mask, inv2)
 
-            keys = jax.random.split(key, n_iters)
+            # max(n_iters, 1): n_iters == 0 still computes pool0/coll2 (the
+            # zero-length-chunk call fit() issues when a stage schedules
+            # step2: 0 but step3 > 0 — step 3 needs step 2's collected)
+            keys = jax.random.split(key, max(n_iters, 1))
             pool0 = model.step2_sample(keys[0], collected, n_proj)
+            if n_iters == 0:
+                # zero-length chunk: no updates, but step 3 still needs a
+                # REAL collected (projected samples from the current params)
+                _, coll2 = loss_fn(sub, *pool0)
+                return ({**rest, **sub}, opt_state, coll2,
+                        jnp.zeros((0,), jnp.float32))
             coll_shapes = jax.eval_shape(loss_fn, sub, *pool0)[1]
             coll0 = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), coll_shapes)
@@ -229,7 +247,7 @@ class Trainer:
                         coll2), loss
             (sub, s, _, coll2), losses = jax.lax.scan(
                 body, (sub, opt_state, pool0, coll0),
-                (keys, jnp.arange(n_iters)))
+                (keys[:n_iters], jnp.arange(n_iters)))
             return {**rest, **sub}, s, coll2, losses
 
         @partial(jax.jit, static_argnames=("n_iters",), donate_argnums=(0, 1))
@@ -310,13 +328,14 @@ class Trainer:
         if shuffle:
             order = np.asarray(
                 jax.random.permutation(self._next_key(), len(order)))
-        for idx in order:
+        for pos, idx in enumerate(order):
             image, latent, data_index = images_latents[int(idx)]
             image = jnp.asarray(image)[None]
             latent = jnp.asarray(latent)
             if latent.ndim == 1:
                 latent = latent[None]
-            log.info("training on image %d/%d", idx + 1, len(images_latents))
+            log.info("training on image %d/%d (dataset index %d)",
+                     pos + 1, len(images_latents), idx)
 
             if self.debug and idx == 0:
                 self.debug_report(image, latent)
@@ -327,12 +346,19 @@ class Trainer:
             for stage_i, stage in enumerate(stages):
                 t0 = time.time()
                 l1s, l2s, l3s = [], [], []
-                for c in self._chunk_sizes(stage["step1"]):
+                # zero-iteration guard: a stage scheduling 0 iterations for
+                # step 1/2 still issues one zero-length call IF a later step
+                # consumes its `collected` output (step 2 needs step 1's,
+                # step 3 needs step 2's) — otherwise the step is skipped
+                # entirely (no compile)
+                need1 = [0] if (stage["step2"] or stage["step3"]) else []
+                need2 = [0] if stage["step3"] else []
+                for c in (self._chunk_sizes(stage["step1"]) or need1):
                     self.params, self.opt_states[1], collected, l1c = \
                         self._run_step1(self.params, self.opt_states[1],
                                         self.frozen, image, n_iters=c)
                     l1s.append(l1c)
-                for c in self._chunk_sizes(stage["step2"]):
+                for c in (self._chunk_sizes(stage["step2"]) or need2):
                     self.params, self.opt_states[2], collected2, l2c = \
                         self._run_step2(self.params, self.opt_states[2],
                                         self.frozen, image, latent, collected,
@@ -427,20 +453,22 @@ class GeneralizingTrainer(Trainer):
             mesh = make_mesh(axis_name="batch")
         self.mesh = mesh
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            self._batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-            self._repl_sh = NamedSharding(mesh, P())
-            self.params = jax.device_put(self.params, self._repl_sh)
-            self.frozen = jax.device_put(self.frozen, self._repl_sh)
+            from gan2shape_tpu.parallel import distributed as dist
+            self.params = dist.put_replicated(self.params, mesh)
+            self.frozen = dist.put_replicated(self.frozen, mesh)
 
     def _shard_batch(self, x):
         """Shard a leading-batch-axis array over the mesh (replicate when
-        the batch doesn't divide the mesh — XLA requires even shards)."""
+        the batch doesn't divide the mesh — XLA requires even shards).
+        Multi-host safe: routes through parallel.distributed's put helpers,
+        which use make_array_from_process_local_data when processes > 1
+        (plain device_put cannot address other hosts' devices)."""
         if self.mesh is None:
             return x
-        sh = self._batch_sh if x.shape[0] % self.mesh.devices.size == 0 \
-            else self._repl_sh
-        return jax.device_put(x, sh)
+        from gan2shape_tpu.parallel import distributed as dist
+        if x.shape[0] % self.mesh.devices.size == 0:
+            return dist.put_batch(x, self.mesh)
+        return dist.put_replicated(x, self.mesh)
 
     def fit(self, images_latents, stages=None, batch_size=2, shuffle=False,
             plot_depth_map=False, **_):
@@ -485,18 +513,27 @@ class GeneralizingTrainer(Trainer):
                 lats = latents[idxs]
 
                 l1s = []
-                for c in self._chunk_sizes(stages[0]["step1"]):
+                # zero-iteration guard: see Trainer.fit — a zero-length call
+                # is issued only when a later step consumes the collected
+                need1 = [0] if (stages[0]["step2"] or stages[0]["step3"]) \
+                    else []
+                need2 = [0] if stages[0]["step3"] else []
+                for c in (self._chunk_sizes(stages[0]["step1"]) or need1):
                     self.params, self.opt_states[1], collected, l1c = \
                         self._run_step1(self.params, self.opt_states[1],
                                         self.frozen, imgs, n_iters=c)
                     l1s.append(l1c)
                 l1 = _cat(l1s)
-                total_it += len(l1)
+                # step-1 iterations are batch-level: stream them once per
+                # batch (reference logs epoch/total_it/loss_step1 per
+                # iteration with no image context, trainer.py:407-410)
+                total_it = self._log_wandb_iters(
+                    epoch, -1, total_it, l1, np.zeros(0), np.zeros(0))
 
                 for bi in range(imgs.shape[0]):
                     coll_i = jax.tree.map(lambda x: x[bi:bi + 1], collected)
                     l2s, l3s = [], []
-                    for c in self._chunk_sizes(stages[0]["step2"]):
+                    for c in (self._chunk_sizes(stages[0]["step2"]) or need2):
                         self.params, self.opt_states[2], coll2, l2c = \
                             self._run_step2(self.params, self.opt_states[2],
                                             self.frozen, imgs[bi:bi + 1],
@@ -535,6 +572,32 @@ class GeneralizingTrainer(Trainer):
                                self.category)
         log.info("finished training")
         return history
+
+    def _log_wandb_iters(self, epoch, data_index, total_it, l1, l2, l3):
+        """Per-iteration records with the reference's generalizing-mode keys:
+        epoch/total_it/loss_step1 for the batched step 1 (reference
+        trainer.py:407-410, no image context) and epoch/total_it/
+        loss_step{2,3}/image_num for the per-image steps (trainer.py:461-465).
+        Always advances and returns the global iteration counter."""
+        wandb = None
+        if self.log_wandb:
+            try:
+                import wandb
+            except ImportError:
+                wandb = None
+        for v in np.asarray(l1):
+            total_it += 1
+            if wandb is not None:
+                wandb.log({"epoch": epoch, "total_it": total_it,
+                           "loss_step1": float(v)})
+        for k, arr in ((2, l2), (3, l3)):
+            for v in np.asarray(arr):
+                total_it += 1
+                if wandb is not None:
+                    wandb.log({"epoch": epoch, "total_it": total_it,
+                               f"loss_step{k}": float(v),
+                               "image_num": int(data_index)})
+        return total_it
 
 
 # alias matching the reference's live class name (main.py:138)

@@ -13,6 +13,8 @@ a single windowed scatter-add (XLA transpose of the gather) — the image-
 gradient splat the CUDA implementation hand-writes.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,30 @@ import jax.numpy as jnp
 def _gather_2d(xf, idx):
     # xf: (B, C, H*W), idx: (B, P) -> (B, C, P)
     return jnp.take_along_axis(xf, idx[:, None, :], axis=2)
+
+
+def _nearest_planes(x, gy, gx, iyr, ixr, valid):
+    """Pixel-aligned nearest sampling through the windowed planes fetch:
+    round(g) is always one of the 2x2 window corners at floor(g), so the
+    nearest tap is a select over the fetched planes.  Routes the 262k
+    per-pixel single-element gathers (~2.8 ms/iter at b=16 in step 2)
+    through the displacement-decomposed Pallas fetch / block-gather instead.
+    Enabled together with the block route (G2S_FETCH_XL=block) — the
+    planes fetch's own per-pixel fallback is SLOWER than a single-element
+    gather, so this only pays when the fast routes are on."""
+    from gan2shape_tpu.ops.gather_window import gather_window2x2_planes
+
+    b, c, h, w = x.shape
+    iy0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, h - 2)
+    ix0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 2)
+    planes = gather_window2x2_planes(
+        x, iy0.reshape(b, h, w), ix0.reshape(b, h, w))
+    a = jnp.clip(jnp.clip(iyr, 0, h - 1) - iy0, 0, 1).reshape(b, 1, h, w)
+    s = jnp.clip(jnp.clip(ixr, 0, w - 1) - ix0, 0, 1).reshape(b, 1, h, w)
+    p0 = jnp.where(s == 1, planes[:, 0, 1], planes[:, 0, 0])
+    p1 = jnp.where(s == 1, planes[:, 1, 1], planes[:, 1, 0])
+    out = jnp.where(a == 1, p1, p0)
+    return out * valid.reshape(b, 1, h, w).astype(x.dtype)
 
 
 def grid_sample(x, grid, mode="bilinear"):
@@ -38,10 +64,13 @@ def grid_sample(x, grid, mode="bilinear"):
     gy = gy.reshape(b, hg * wg)
 
     if mode == "nearest":
-        xf = x.reshape(b, c, h * w)
         ix = jnp.round(gx).astype(jnp.int32)
         iy = jnp.round(gy).astype(jnp.int32)
         valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        if (hg == h and wg == w
+                and os.environ.get("G2S_FETCH_XL", "gather") == "block"):
+            return _nearest_planes(x, gy, gx, iy, ix, valid)
+        xf = x.reshape(b, c, h * w)
         idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
         out = _gather_2d(xf, idx) * valid[:, None, :].astype(x.dtype)
         return out.reshape(b, c, hg, wg)

@@ -59,8 +59,22 @@ def initialize_from_env():
     pid = os.environ.get("G2S_PROCESS_ID") \
         or os.environ.get("JAX_PROCESS_ID")
 
-    if coord and n and int(n) > 1:
-        return initialize(coord, int(n), int(pid or 0))
+    if coord or n or pid:
+        # any of the three set = the operator intends multi-host; a partial
+        # spec must FAIL LOUDLY — silently proceeding single-process makes
+        # every host train independently (colliding checkpoints), and a
+        # defaulted process_id=0 hangs the coordinator waiting for ranks
+        if not (coord and n and pid is not None):
+            raise RuntimeError(
+                "partial multi-host environment: need ALL of "
+                "G2S_COORDINATOR, G2S_NUM_PROCESSES, G2S_PROCESS_ID (or the "
+                f"JAX_* equivalents); got coordinator={coord!r}, "
+                f"num_processes={n!r}, process_id={pid!r}")
+        if int(n) <= 1:
+            log.info("distributed: num_processes=%s, staying single-process",
+                     n)
+            return False
+        return initialize(coord, int(n), int(pid))
     if os.environ.get("G2S_MULTIHOST") == "1":
         # TPU-pod autodetection path
         global _initialized
@@ -69,6 +83,36 @@ def initialize_from_env():
         _initialized = True
         return True
     return False
+
+
+def put_batch(x, mesh, axis_name=None):
+    """Shard a leading-batch-axis array over `mesh`.  Multi-host safe:
+    single-process uses device_put; multi-process routes through
+    process_local_batch (device_put cannot address other hosts' devices)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() > 1:
+        return process_local_batch(x, mesh, axis_name)
+    axis_name = axis_name or mesh.axis_names[0]
+    return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+
+
+def put_replicated(tree, mesh):
+    """Replicate host data (a pytree) across a possibly multi-host mesh."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def one(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(sh, a, a.shape)
+
+    return jax.tree.map(one, tree)
 
 
 def process_local_batch(global_array, mesh, axis_name=None):

@@ -57,14 +57,24 @@ def matmul_precision():
 # bf16 policy; the gated flip switches this to bf16-on-TPU.  Override via
 # config key `act_dtype` or the G2S_ACT_DTYPE env var.
 _ACT_MAP = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
-_act_name = os.environ.get("G2S_ACT_DTYPE", None)
+
+
+def _check_act_name(name):
+    """Validate BEFORE assigning — an invalid name must not poison the
+    global policy state (and must fail here, not mid-trace)."""
+    if name is not None and name not in _ACT_MAP:
+        raise ValueError(
+            f"act_dtype must be one of {sorted(_ACT_MAP)} or None, "
+            f"got {name!r}")
+    return name
+
+
+_act_name = _check_act_name(os.environ.get("G2S_ACT_DTYPE", None))
 
 
 def set_act_dtype(name):
     global _act_name
-    _act_name = None if name is None else str(name)
-    if _act_name is not None:
-        assert _act_name in _ACT_MAP, name
+    _act_name = _check_act_name(None if name is None else str(name))
 
 
 def act_dtype():

@@ -46,6 +46,19 @@ def main(process_id, port):
                   out_shardings=NamedSharding(mesh, P()))(arr)
     total = float(jax.device_get(out))
     assert total == float(glob.sum()), total
+
+    # the trainer-facing helpers (GeneralizingTrainer._shard_batch routes
+    # through these): put_batch must produce the same globally-sharded
+    # array, put_replicated a fully-replicated pytree
+    arr2 = distributed.put_batch(glob, mesh)
+    assert arr2.sharding.spec == P("instances"), arr2.sharding
+    out2 = jax.jit(lambda x: jnp.sum(x),
+                   out_shardings=NamedSharding(mesh, P()))(arr2)
+    assert float(jax.device_get(out2)) == float(glob.sum())
+    rep = distributed.put_replicated({"w": np.ones((3,), np.float32)}, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+    assert float(jax.device_get(jnp.sum(rep["w"]))) == 3.0
+
     print(f"DIST_OK process={process_id} total={total}", flush=True)
 
 

@@ -57,3 +57,28 @@ def test_initialize_from_env_noop_single_process(monkeypatch):
                 "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
         monkeypatch.delenv(var, raising=False)
     assert distributed.initialize_from_env() is False
+
+
+def test_initialize_from_env_partial_spec_fails(monkeypatch):
+    """A PARTIAL multi-host spec must fail loudly: silently degrading to
+    single-process makes every host train independently, and a defaulted
+    process_id=0 hangs the coordinator waiting for the other ranks."""
+    import pytest
+
+    for var in ("G2S_COORDINATOR", "G2S_NUM_PROCESSES", "G2S_PROCESS_ID",
+                "G2S_MULTIHOST", "JAX_COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+
+    monkeypatch.setenv("G2S_COORDINATOR", "localhost:1234")
+    with pytest.raises(RuntimeError, match="partial multi-host"):
+        distributed.initialize_from_env()
+
+    monkeypatch.setenv("G2S_NUM_PROCESSES", "2")  # still no process id
+    with pytest.raises(RuntimeError, match="partial multi-host"):
+        distributed.initialize_from_env()
+
+    # complete spec with num_processes=1: explicit single-process, no init
+    monkeypatch.setenv("G2S_PROCESS_ID", "0")
+    monkeypatch.setenv("G2S_NUM_PROCESSES", "1")
+    assert distributed.initialize_from_env() is False

@@ -244,3 +244,133 @@ def test_gather_window_planes_matches_patch_layout(rng):
         rng.standard_normal((b, 2, 2, c, h, w)).astype(np.float32))
     np.testing.assert_allclose(np.asarray(vjp_b(g)[0]),
                                np.asarray(vjp_a(g)[0]), rtol=0, atol=1e-5)
+
+
+def _pixel_planes_oracle(src, iy, ix):
+    """Loop oracle: out[b, a, s, c, y, x] = src[b, c, iy+a, ix+s]."""
+    b, c, h, w = src.shape
+    out = np.zeros((b, 2, 2, c, h, w), src.dtype)
+    for bb in range(b):
+        for y in range(h):
+            for x in range(w):
+                yy = min(max(int(iy[bb, y, x]), 0), h - 2)
+                xx = min(max(int(ix[bb, y, x]), 0), w - 2)
+                for a in (0, 1):
+                    for s in (0, 1):
+                        out[bb, a, s, :, y, x] = src[bb, :, yy + a, xx + s]
+    return out
+
+
+def test_block_fetch_matches_oracle_smooth_warp(rng):
+    """The block-gather route (one (K,K,C) gather per bs x bs destination
+    block + one-hot tap selection) must be bit-exact vs the per-pixel
+    windowed gather on a smooth large-offset warp — the pseudo-view regime
+    it exists for (ops/gather_window.py:_block_fetch_impl)."""
+    from gan2shape_tpu.ops.gather_window import (
+        _block_fetch_impl, _block_spread_ok)
+
+    b, c, h, w = 2, 3, 16, 24
+    bs, k = 4, 8
+    src = rng.standard_normal((b, c, h, w)).astype(np.float32)
+    # smooth warp with a LARGE global offset range (rules out the
+    # roll-decomposed path) but small local spread: a shifted ramp
+    py, px = np.mgrid[0:h, 0:w].astype(np.float32)
+    iy = np.clip(py + 5.0 * np.sin(px / 7.0) - 3.0, 0, h - 2)
+    ix = np.clip(px + 6.0 * np.cos(py / 5.0) + 2.0, 0, w - 2)
+    iy = np.broadcast_to(iy.astype(np.int32), (b, h, w)).copy()
+    ix = np.broadcast_to(ix.astype(np.int32), (b, h, w)).copy()
+
+    assert bool(_block_spread_ok(jnp.asarray(iy), jnp.asarray(ix), bs, k))
+    out = _block_fetch_impl(jnp.asarray(src), jnp.asarray(iy),
+                            jnp.asarray(ix), bs, k)
+    np.testing.assert_array_equal(
+        np.asarray(out), _pixel_planes_oracle(src, iy, ix))
+
+
+def test_block_fetch_route_falls_back_on_steep_warp(rng, monkeypatch):
+    """With G2S_FETCH_XL=block the planes fetch must stay exact in BOTH
+    cond arms: block-eligible smooth warps and spread-violating random
+    warps (fallback to the per-pixel gather)."""
+    from gan2shape_tpu.ops import gather_window as gw
+
+    monkeypatch.setenv("G2S_FETCH_XL", "block")
+    monkeypatch.setenv("G2S_FETCH_BLOCK", "4")
+    monkeypatch.setenv("G2S_FETCH_BLOCK_WIN", "8")
+    b, c, h, w = 2, 3, 16, 24
+    src = rng.standard_normal((b, c, h, w)).astype(np.float32)
+
+    # random warp: spread inside a 4x4 block almost surely exceeds k-2
+    iy_r = rng.integers(0, h - 1, (b, h, w)).astype(np.int32)
+    ix_r = rng.integers(0, w - 1, (b, h, w)).astype(np.int32)
+    assert not bool(gw._block_spread_ok(
+        jnp.asarray(iy_r), jnp.asarray(ix_r), 4, 8))
+    # constant large offset: block-eligible
+    iy_s = np.full((b, h, w), h - 5, np.int32)
+    ix_s = np.full((b, h, w), 3, np.int32)
+
+    for iy, ix in ((iy_r, ix_r), (iy_s, ix_s)):
+        out = jax.jit(gw.gather_window2x2_planes)(
+            jnp.asarray(src), jnp.asarray(iy), jnp.asarray(ix))
+        np.testing.assert_array_equal(
+            np.asarray(out), _pixel_planes_oracle(src, iy, ix))
+
+
+def test_block_fetch_edge_clipping(rng):
+    """Window starts at the clip boundary (h-2, w-2) and 0 must select the
+    same taps as the per-pixel gather (base clipped to h-K keeps every
+    window in bounds)."""
+    from gan2shape_tpu.ops.gather_window import _block_fetch_impl
+
+    b, c, h, w = 1, 3, 8, 16
+    bs, k = 4, 8
+    src = rng.standard_normal((b, c, h, w)).astype(np.float32)
+    iy = np.where(np.arange(h)[None, :, None] < 4, 0, h - 2).astype(np.int32)
+    iy = np.broadcast_to(iy, (b, h, w)).copy()
+    ix = np.where(np.arange(w)[None, None, :] < 8, 0, w - 2).astype(np.int32)
+    ix = np.broadcast_to(ix, (b, h, w)).copy()
+    out = _block_fetch_impl(jnp.asarray(src), jnp.asarray(iy),
+                            jnp.asarray(ix), bs, k)
+    np.testing.assert_array_equal(
+        np.asarray(out), _pixel_planes_oracle(src, iy, ix))
+
+
+def test_nearest_planes_route_matches_default(rng, monkeypatch):
+    """Pixel-aligned nearest grid_sample through the planes/block route
+    (G2S_FETCH_XL=block) must match the take_along_axis path bit-exactly —
+    values AND input-gradient — including out-of-bounds samples."""
+    b, c, h, w = 2, 3, 16, 24
+    x = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+    # grid spanning in-bounds, sub-pixel, and out-of-bounds samples
+    g = rng.uniform(-1.3, 1.3, (b, h, w, 2)).astype(np.float32)
+    grid = jnp.asarray(g)
+    cot = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+
+    monkeypatch.delenv("G2S_FETCH_XL", raising=False)
+    want, vjp_d = jax.vjp(lambda xx: grid_sample(xx, grid, "nearest"), x)
+    gw_d = vjp_d(cot)[0]
+
+    monkeypatch.setenv("G2S_FETCH_XL", "block")
+    got, vjp_b = jax.vjp(lambda xx: grid_sample(xx, grid, "nearest"), x)
+    gw_b = vjp_b(cot)[0]
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_d),
+                               rtol=0, atol=1e-5)
+
+
+def test_gather_window_planes_bf16_primal_vjp_dtype(rng):
+    """The planes VJP must return the cotangent in the PRIMAL dtype — a
+    bf16 primal previously produced an f32 dsrc (dtype-mismatch error in
+    custom_vjp once bf16 activations feed warped images)."""
+    from gan2shape_tpu.ops.gather_window import gather_window2x2_planes
+
+    b, c, h, w = 2, 3, 8, 16
+    src = jnp.asarray(rng.standard_normal((b, c, h, w))).astype(jnp.bfloat16)
+    iy = jnp.asarray(rng.integers(0, h - 1, (b, h, w)).astype(np.int32))
+    ix = jnp.asarray(rng.integers(0, w - 1, (b, h, w)).astype(np.int32))
+
+    out, vjp = jax.vjp(lambda s: gather_window2x2_planes(s, iy, ix), src)
+    assert out.dtype == jnp.bfloat16
+    (dsrc,) = vjp(jnp.ones_like(out))
+    assert dsrc.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(dsrc.astype(jnp.float32)).all())

@@ -217,3 +217,22 @@ def test_fit_shuffle_permutes_order():
                 shuffle=True)
     assert sorted(seen) == [0, 1, 2, 3, 4]
     assert seen != [0, 1, 2, 3, 4]  # PRNGKey-seeded permutation is not id
+
+
+@pytest.mark.slow
+def test_fit_zero_step2_with_step3():
+    """A stage scheduling step2: 0 but step3 > 0 must not crash: the
+    zero-length step-2 call still produces the `collected` that step 3
+    consumes (previously an unbound-variable NameError under compile
+    chunking)."""
+    cfg = dict(CFG)
+    cfg["n_epochs_prior"] = 1
+    trainer = Trainer(cfg)
+    data = SyntheticData(1)
+    history = trainer.fit(
+        data, stages=[{"step1": 1, "step2": 0, "step3": 1}])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss_step1"])
+    assert np.isnan(history[0]["loss_step2"])  # no iterations ran
+    assert np.isfinite(history[0]["loss_step3"])
+    assert len(history[0]["losses_step3"]) == 1

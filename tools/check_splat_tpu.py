@@ -82,11 +82,24 @@ def main():
             rng.standard_normal((b, c, h, w)).astype(np.float32))
         iy = jnp.asarray(starts[..., 0].reshape(b, h, w).astype(np.int32))
         ix = jnp.asarray(starts[..., 1].reshape(b, h, w).astype(np.int32))
-        os.environ["G2S_FETCH"] = "xla"
-        want = np.asarray(jax.jit(gather_window2x2_planes)(src, iy, ix))
-        os.environ["G2S_FETCH"] = "pallas"
-        got = np.asarray(jax.jit(gather_window2x2_planes)(src, iy, ix))
-        del os.environ["G2S_FETCH"]
+
+        def fetch_with(env):
+            # fresh jitted CLOSURE per env setting: jax.jit's tracing cache
+            # is keyed on function identity + avals, so re-jitting the same
+            # function would silently reuse the first trace and the
+            # trace-time env switch would never take effect
+            os.environ["G2S_FETCH"] = env
+
+            @jax.jit
+            def f(src, iy, ix):
+                return gather_window2x2_planes(src, iy, ix)
+
+            out = np.asarray(jax.block_until_ready(f(src, iy, ix)))
+            del os.environ["G2S_FETCH"]
+            return out
+
+        want = fetch_with("xla")
+        got = fetch_with("pallas")
         err = float(np.abs(got - want).max())
         entry = {"max_abs_err": err, "pass": bool(err == 0.0)}
         results["cases"][name] = entry
