@@ -25,6 +25,7 @@ checkpoint assets.
 """
 
 import math
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -58,12 +59,53 @@ def pixel_norm(x, eps=1e-8):
     return x * lax.rsqrt(jnp.mean(x ** 2, axis=1, keepdims=True) + eps)
 
 
+# ---- internal activation layout ------------------------------------------
+#
+# G2S_CONV_LAYOUT=nhwc runs the frozen generator/discriminator INTERNALS
+# channel-last.  Rationale (step-2 trace, PERF_NOTES.md item 7): under NCHW
+# XLA's layout assignment ping-pongs between the convs' HW-minor physical
+# layouts and the FIR-blur matmuls' channel-in-lanes preference — ~15 ms/iter
+# of pure relayout copies at b=16.  NHWC is the TPU conv's native layout
+# (channels in lanes), matching the blur dots.  Public interfaces (images,
+# noise, feature taps, weights) stay NCHW/OIHW — boundary transposes are
+# 3-channel or 4x4-resolution arrays, and tap transposes fuse into the
+# downstream loss reductions.  Default remains nchw pending a TPU A/B.
+
+
+def _nhwc():
+    return os.environ.get("G2S_CONV_LAYOUT", "nchw") == "nhwc"
+
+
+def _ch_axis():
+    return 3 if _nhwc() else 1
+
+
+def _cvec(v, ndim=4):
+    """Reshape a per-channel vector for broadcasting over the active layout."""
+    shape = [1] * ndim
+    shape[_ch_axis()] = -1
+    return v.reshape(shape)
+
+
+def _to_internal(x_nchw):
+    return jnp.transpose(x_nchw, (0, 2, 3, 1)) if _nhwc() else x_nchw
+
+
+def _from_internal(x):
+    return jnp.transpose(x, (0, 3, 1, 2)) if _nhwc() else x
+
+
+def _dimnums():
+    return (("NHWC", "OIHW", "NHWC") if _nhwc()
+            else ("NCHW", "OIHW", "NCHW"))
+
+
 def _conv2d(x, w, stride=1, padding=0, groups=1):
     return lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         feature_group_count=groups,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC_lookup())
+        dimension_numbers=_dimnums(), precision=_PREC_lookup())
 
 
 def _conv_transpose2d(x, w_oihw, stride=2):
@@ -75,7 +117,12 @@ def _conv_transpose2d(x, w_oihw, stride=2):
         window_strides=(1, 1),
         padding=((k - 1, k - 1), (k - 1, k - 1)),
         lhs_dilation=(stride, stride),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC_lookup())
+        dimension_numbers=_dimnums(), precision=_PREC_lookup())
+
+
+def _blur(x, kern, kern1d, up=1, down=1, pad=(0, 0)):
+    return upfirdn2d(x, kern, up=up, down=down, pad=pad, kernel_1d=kern1d,
+                     channel_last=_nhwc())
 
 
 class EqualLinear(nn.Module):
@@ -140,7 +187,7 @@ class EqualConv2d(nn.Module):
                       stride=self.stride, padding=self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
-            out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
+            out = out + _cvec(b).astype(out.dtype)
         return out
 
 
@@ -180,7 +227,6 @@ class ModulatedConv2d(nn.Module):
         self._kern1d = kern1d
 
     def __call__(self, x, style):
-        b, in_c, h, w = x.shape
         scale = 1.0 / math.sqrt(self.in_channel * self.kernel_size ** 2)
         style = self.modulation(style)  # (B, in_c)
 
@@ -195,22 +241,22 @@ class ModulatedConv2d(nn.Module):
                 jnp.matmul(style.astype(jnp.float32) ** 2, wsq.T,
                            precision=_PREC_lookup()) + 1e-8)
 
-        x = x * style[:, :, None, None].astype(x.dtype)
+        cb = (slice(None), None, None, slice(None)) if _nhwc() \
+            else (slice(None), slice(None), None, None)
+        x = x * style[cb].astype(x.dtype)
         wgt = (self.weight[0] * scale).astype(x.dtype)
 
         if self.upsample:
             out = _conv_transpose2d(x, wgt, stride=2)
-            out = upfirdn2d(out, self._kern, up=1, down=1,
-                            pad=self._blur_pad, kernel_1d=self._kern1d)
+            out = _blur(out, self._kern, self._kern1d, pad=self._blur_pad)
         elif self.downsample:
-            x = upfirdn2d(x, self._kern, up=1, down=1,
-                          pad=self._blur_pad, kernel_1d=self._kern1d)
+            x = _blur(x, self._kern, self._kern1d, pad=self._blur_pad)
             out = _conv2d(x, wgt, stride=2, padding=0)
         else:
             out = _conv2d(x, wgt, stride=1, padding=self.kernel_size // 2)
 
         if self.demodulate:
-            out = out * demod[:, :, None, None].astype(out.dtype)
+            out = out * demod[cb].astype(out.dtype)
         return out
 
 
@@ -244,7 +290,7 @@ class StyledConv(nn.Module):
     def __call__(self, x, style, noise):
         out = self.conv(x, style)
         out = self.noise(out, noise)
-        return fused_leaky_relu(out, self.act_bias)
+        return fused_leaky_relu(out, self.act_bias, channel_axis=_ch_axis())
 
 
 class ToRGB(nn.Module):
@@ -268,10 +314,11 @@ class ToRGB(nn.Module):
 
     def __call__(self, x, style, skip=None):
         out = self.conv(x, style)
-        out = out + self.bias.astype(out.dtype)
+        # stored (1, 3, 1, 1); _cvec's reshape is order-preserving
+        out = out + _cvec(self.bias).astype(out.dtype)
         if skip is not None:
-            skip = upfirdn2d(skip, self._up_kern, up=2, down=1,
-                             pad=self._up_pad, kernel_1d=self._up_kern1d)
+            skip = _blur(skip, self._up_kern, self._up_kern1d, up=2, down=1,
+                         pad=self._up_pad)
             out = out + skip
         return out
 
@@ -415,10 +462,14 @@ class Generator(nn.Module):
         latent_f32 = latent
         adt = act_dtype()
         latent = latent.astype(adt)
-        noise = [n.astype(adt) for n in noise]
+        # noise arrives NCHW (1, 1, res, res); internal layout may be NHWC —
+        # the transposes are 1-channel arrays, negligible
+        noise = [_to_internal(n.astype(adt)) for n in noise]
 
         batch = latent.shape[0]
-        out = jnp.tile(self.const_input, (batch, 1, 1, 1)).astype(latent.dtype)
+        const = _to_internal(self.const_input)  # (1, 4, 4, C) under nhwc
+        tile = (batch, 1, 1, 1)
+        out = jnp.tile(const, tile).astype(latent.dtype)
         out = self.conv1(out, latent[:, 0], noise[0])
         skip = self.to_rgb1(out, latent[:, 1])
 
@@ -433,9 +484,13 @@ class Generator(nn.Module):
             features.append(out)
             i += 2
 
-        image = skip.astype(jnp.float32)
+        # boundary back to the public NCHW contract: the image transpose is
+        # 3-channel; feature-tap transposes fuse into the consumers' loss
+        # reductions
+        image = _from_internal(skip).astype(jnp.float32)
         if return_features:
-            return image, [f.astype(jnp.float32) for f in features]
+            return image, [_from_internal(f).astype(jnp.float32)
+                           for f in features]
         if return_latents:
             return image, latent_f32
         return image, None
@@ -481,12 +536,12 @@ class ConvLayer(nn.Module):
 
     def __call__(self, x):
         if self.downsample:
-            x = upfirdn2d(x, self._kern, pad=self._pad,
-                          kernel_1d=self._kern1d)
+            x = _blur(x, self._kern, self._kern1d, pad=self._pad)
         out = self.conv(x)
         if self.activate:
             if self.use_bias:
-                out = fused_leaky_relu(out, self.act_bias)
+                out = fused_leaky_relu(out, self.act_bias,
+                                       channel_axis=_ch_axis())
             else:
                 out = fused_leaky_relu(out, None)
         return out
@@ -540,16 +595,22 @@ class Discriminator(nn.Module):
 
     def __call__(self, x, ftr_num=100):
         # frozen stack: run at the activation-policy dtype (see Generator);
-        # feature taps are cast back so the feature-matching loss stays f32
-        out = x.astype(act_dtype())
+        # feature taps are cast back so the feature-matching loss stays f32.
+        # Input/taps keep the public NCHW contract; internals may be NHWC —
+        # tap transposes fuse into the feature-loss reductions downstream.
+        out = _to_internal(x.astype(act_dtype()))
         features = []
         for i, block in enumerate(self.blocks):
             out = block(out)
             if i > 0:
-                features.append(out.astype(jnp.float32))
+                features.append(_from_internal(out).astype(jnp.float32))
             if len(features) >= ftr_num:
                 return jnp.zeros(()), features
 
+        # minibatch stddev + the final 4x4 head run in NCHW regardless (the
+        # arrays are 4x4 — negligible; the reshape before final_linear_0
+        # must match torch's C-major flatten)
+        out = _from_internal(out)
         batch, channel, height, width = out.shape
         group = min(batch, self.stddev_group)
         stddev = out.reshape(group, -1, self.stddev_feat,
@@ -559,7 +620,7 @@ class Discriminator(nn.Module):
         stddev = jnp.tile(stddev, (group, 1, height, width))
         out = jnp.concatenate([out, stddev], 1)
 
-        out = self.final_conv(out)
+        out = _from_internal(self.final_conv(_to_internal(out)))
         features.append(out.astype(jnp.float32))
         out = out.reshape(batch, -1)
         out = self.final_linear_1(self.final_linear_0(out))

@@ -9,13 +9,18 @@ kernel existed only because PyTorch eager could not fuse.
 import jax.numpy as jnp
 
 
-def fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5):
-    """scale * leaky_relu(x + bias).  `bias` broadcasts over channel axis 1
-    for >=2-D inputs (NCHW) and the last axis for 1/2-D inputs (linear layers),
-    matching the reference (op/fused_act.py:86-92)."""
+def fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5,
+                     channel_axis=1):
+    """scale * leaky_relu(x + bias).  `bias` broadcasts over `channel_axis`
+    for >=2-D inputs (axis 1 = NCHW default; pass -1 under the NHWC internal
+    layout) and the last axis for 1/2-D inputs (linear layers), matching the
+    reference (op/fused_act.py:86-92)."""
     if bias is not None:
         if x.ndim > 2:
-            b = bias.reshape((1, -1) + (1,) * (x.ndim - 2))
+            ax = channel_axis % x.ndim
+            shape = [1] * x.ndim
+            shape[ax] = -1
+            b = bias.reshape(shape)
         else:
             b = bias.reshape((1, -1)) if x.ndim == 2 else bias
         # cast instead of promoting: under the bf16 activation policy the

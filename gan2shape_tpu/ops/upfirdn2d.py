@@ -116,11 +116,16 @@ def _fir_matrix(in_size, k_tuple, up, down, pad0, pad1):
     return m
 
 
-def _upfirdn2d_separable(x, k1d, up, down, pad):
-    """Separable fast path: two 1-D FIR passes (H then W) as matmuls."""
+def _upfirdn2d_separable(x, k1d, up, down, pad, channel_last=False):
+    """Separable fast path: two 1-D FIR passes (H then W) as matmuls.
+    `channel_last` treats x as (N, H, W, C) — the NHWC internal layout of
+    the frozen conv stacks (G2S_CONV_LAYOUT=nhwc)."""
     from gan2shape_tpu.utils.precision import matmul_precision
 
-    b, c, h, w = x.shape
+    if channel_last:
+        b, h, w, c = x.shape
+    else:
+        b, c, h, w = x.shape
     up_y, up_x = up
     down_y, down_x = down
     pad_y0, pad_y1, pad_x0, pad_x1 = pad
@@ -131,6 +136,10 @@ def _upfirdn2d_separable(x, k1d, up, down, pad):
     mw = jnp.asarray(_fir_matrix(w, k_tuple, up_x, down_x, pad_x0, pad_x1),
                      x.dtype)
     prec = matmul_precision()
+    if channel_last:
+        out = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
+        out = jnp.einsum("pw,bhwc->bhpc", mw, out, precision=prec)
+        return out
     out = jnp.einsum("oh,bchw->bcow", mh, x, precision=prec)
     out = jnp.einsum("pw,bchw->bchp", mw, out, precision=prec)
     return out
@@ -141,8 +150,10 @@ def _upfirdn2d_jit(x, kernel, up, down, pad):
     return _upfirdn2d_conv(x, kernel, up, down, pad)
 
 
-def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), kernel_1d=None):
-    """Apply upfirdn2d to `x` (N, C, H, W).
+def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), kernel_1d=None,
+              channel_last=False):
+    """Apply upfirdn2d to `x` (N, C, H, W) — or (N, H, W, C) with
+    `channel_last=True` (the NHWC internal layout of the frozen stacks).
 
     `up`/`down` are ints or (y, x) pairs; `pad` is (pad0, pad1) applied to both
     axes or a 4-tuple (y0, y1, x0, x1) — matching the reference entry point
@@ -156,7 +167,13 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), kernel_1d=None):
     else:
         pad = tuple(pad)
     if kernel_1d is not None:
-        return _upfirdn2d_separable(x, kernel_1d, up, down, pad)
+        return _upfirdn2d_separable(x, kernel_1d, up, down, pad,
+                                    channel_last=channel_last)
+    if channel_last:
+        # non-separable kernels never occur in the NHWC hot path (every
+        # StyleGAN2 blur is rank-1); correctness fallback via transposes
+        out = _upfirdn2d_conv(x.transpose(0, 3, 1, 2), kernel, up, down, pad)
+        return out.transpose(0, 2, 3, 1)
     return _upfirdn2d_conv(x, kernel, up, down, pad)
 
 

@@ -60,13 +60,21 @@ def _direct_modconv_up(x, weight, style, scale, demodulate):
     return upfirdn2d(out, kern, pad=pad, kernel_1d=kern1)
 
 
+def _apply_nchw(mod, params, x, s):
+    """Drive a module whose activations use the INTERNAL layout with NCHW
+    test data (transparent in the default layout)."""
+    from gan2shape_tpu.models import stylegan2 as sg
+    return sg._from_internal(mod.apply(params, sg._to_internal(x), s))
+
+
 @pytest.mark.parametrize("demodulate", [True, False])
 def test_modulated_conv_matches_direct(rng, demodulate):
     mod = ModulatedConv2d(8, 12, 3, 16, demodulate=demodulate)
     x = jnp.asarray(rng.standard_normal((3, 8, 10, 10)).astype(np.float32))
     s = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
-    params = mod.init(jax.random.PRNGKey(0), x, s)
-    got = mod.apply(params, x, s)
+    from gan2shape_tpu.models import stylegan2 as sg
+    params = mod.init(jax.random.PRNGKey(0), sg._to_internal(x), s)
+    got = _apply_nchw(mod, params, x, s)
 
     # recompute the modulation affine exactly as the module does
     p = params["params"]
@@ -81,8 +89,9 @@ def test_modulated_conv_upsample_matches_direct(rng):
     mod = ModulatedConv2d(8, 12, 3, 16, upsample=True)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
     s = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
-    params = mod.init(jax.random.PRNGKey(0), x, s)
-    got = mod.apply(params, x, s)
+    from gan2shape_tpu.models import stylegan2 as sg
+    params = mod.init(jax.random.PRNGKey(0), sg._to_internal(x), s)
+    got = _apply_nchw(mod, params, x, s)
     assert got.shape == (2, 12, 16, 16)
 
     p = params["params"]
@@ -241,3 +250,40 @@ def test_bf16_activation_policy_lpips(rng):
     assert d16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
                                rtol=0.05, atol=1e-4)
+
+
+def test_nhwc_internal_layout_matches_nchw(rng, monkeypatch):
+    """G2S_CONV_LAYOUT=nhwc changes only the INTERNAL activation layout of
+    generator/discriminator (PERF_NOTES item 7) — outputs, feature taps, and
+    the discriminator score must match the NCHW mode on identical params."""
+    gen = Generator(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)
+    noise = _zero_noise(gen)
+    w = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), [w], noise, input_is_w=True)
+    disc = Discriminator(size=32, channel_multiplier=1)
+    img0, _ = gen.apply(params, [w], noise, input_is_w=True)
+    dparams = disc.init(jax.random.PRNGKey(1), img0)
+
+    def run():
+        img, feats = gen.apply(params, [w], noise, input_is_w=True,
+                               return_features=True)
+        score, dfeats = disc.apply(dparams, img)
+        return img, feats, score, dfeats
+
+    monkeypatch.delenv("G2S_CONV_LAYOUT", raising=False)
+    img_a, feats_a, score_a, dfeats_a = run()
+    monkeypatch.setenv("G2S_CONV_LAYOUT", "nhwc")
+    img_b, feats_b, score_b, dfeats_b = run()
+
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(score_b), np.asarray(score_a),
+                               rtol=1e-5, atol=1e-5)
+    for fa, fb in zip(feats_a, feats_b):
+        assert fa.shape == fb.shape
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                                   rtol=0, atol=2e-5)
+    for fa, fb in zip(dfeats_a, dfeats_b):
+        assert fa.shape == fb.shape
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                                   rtol=0, atol=2e-5)
