@@ -62,10 +62,10 @@ _ACT_MAP = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def _check_act_name(name):
     """Validate BEFORE assigning — an invalid name must not poison the
     global policy state (and must fail here, not mid-trace)."""
-    if name is not None and name not in _ACT_MAP:
+    if name is not None and name != "auto" and name not in _ACT_MAP:
         raise ValueError(
-            f"act_dtype must be one of {sorted(_ACT_MAP)} or None, "
-            f"got {name!r}")
+            f"act_dtype must be one of {sorted(_ACT_MAP)}, 'auto', or "
+            f"None, got {name!r}")
     return name
 
 
@@ -78,6 +78,12 @@ def set_act_dtype(name):
 
 
 def act_dtype():
+    if _act_name == "auto":
+        # bf16 on TPU, exact f32 everywhere else (CPU tests / dryruns).
+        # Resolved lazily at trace time — the backend is already up there.
+        import jax
+        return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)
     if _act_name is not None:
         return _ACT_MAP[_act_name]
     return jnp.float32

@@ -287,3 +287,19 @@ def test_nhwc_internal_layout_matches_nchw(rng, monkeypatch):
         assert fa.shape == fb.shape
         np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
                                    rtol=0, atol=2e-5)
+
+
+def test_act_dtype_policy_validation_and_auto():
+    """Invalid names must fail WITHOUT poisoning the policy state; 'auto'
+    resolves to f32 on non-TPU backends (bf16 only on TPU)."""
+    from gan2shape_tpu.utils import precision as p
+
+    with pytest.raises(ValueError, match="act_dtype"):
+        p.set_act_dtype("bf16")  # typo for bfloat16
+    assert p.act_dtype() == jnp.float32  # state unchanged
+
+    p.set_act_dtype("auto")
+    try:
+        assert p.act_dtype() == jnp.float32  # CPU backend under tests
+    finally:
+        p.set_act_dtype(None)
