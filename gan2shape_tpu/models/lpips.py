@@ -13,6 +13,7 @@ reference checkpoints with convert/torch2jax.py when available; random init is
 used otherwise (tests, and environments without the assets).
 """
 
+import os
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -20,6 +21,14 @@ from jax import lax
 import flax.linen as nn
 
 from gan2shape_tpu.models.layers import Conv2d, max_pool2d
+
+
+def _use_remat():
+    """Rematerialize the VGG trunk in the backward pass (PERF ledger item 4):
+    trades one extra trunk forward for not storing ~5 tap pyramids of
+    activations — a win only if the backward is HBM-spill-bound, so it ships
+    default-off pending a TPU A/B.  Read at trace time so tests can toggle."""
+    return os.environ.get("G2S_LPIPS_REMAT", "0") == "1"
 
 # fixed normalization constants (lpips/networks_basic.py:94-101)
 _SHIFT = (-0.030, -0.088, -0.188)
@@ -65,7 +74,10 @@ class LPIPS(nn.Module):
 
         shift = jnp.asarray(_SHIFT, in0.dtype).reshape(1, 3, 1, 1)
         scale = jnp.asarray(_SCALE, in0.dtype).reshape(1, 3, 1, 1)
-        net = VGG16Features(name="vgg")
+        # nn.remat preserves the param tree ("vgg/...") — checkpoints and
+        # converters are remat-agnostic
+        net_cls = nn.remat(VGG16Features) if _use_remat() else VGG16Features
+        net = net_cls(name="vgg")
 
         # frozen VGG trunk runs at the activation-policy dtype (bf16 on TPU,
         # see utils/precision.py); the unit-norm / diff / head math below is

@@ -252,6 +252,31 @@ def test_bf16_activation_policy_lpips(rng):
                                rtol=0.05, atol=1e-4)
 
 
+def test_lpips_remat_is_identity(rng, monkeypatch):
+    """G2S_LPIPS_REMAT=1 (PERF ledger item 4) reruns the VGG trunk in the
+    backward instead of storing taps — same param tree, same value, same
+    gradients (rematerialization is numerically a no-op)."""
+    from gan2shape_tpu.models.lpips import LPIPS
+
+    m = LPIPS()
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), a, b)
+
+    def loss(x):
+        return jnp.sum(m.apply(params, x, b))
+
+    v0, g0 = jax.value_and_grad(loss)(a)
+    monkeypatch.setenv("G2S_LPIPS_REMAT", "1")
+    params_r = m.init(jax.random.PRNGKey(0), a, b)
+    v1, g1 = jax.value_and_grad(loss)(a)
+    assert jax.tree.structure(params_r) == jax.tree.structure(params)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_nhwc_internal_layout_matches_nchw(rng, monkeypatch):
     """G2S_CONV_LAYOUT=nhwc changes only the INTERNAL activation layout of
     generator/discriminator (PERF_NOTES item 7) — outputs, feature taps, and

@@ -37,6 +37,9 @@ def main():
     }
     if "--no-chunk" in sys.argv:
         config["compile_chunk"] = 0  # the round-2 behavior: 7 distinct jits
+    for a in sys.argv[1:]:
+        if a.startswith("--chunk="):  # chunk-size sweep (PERF_NOTES item 8)
+            config["compile_chunk"] = int(a.split("=", 1)[1])
     stages = [{"step1": 700, "step2": 700, "step3": 600}] + \
         [{"step1": 200, "step2": 500, "step3": 400}] * 3
     n_steps = 1000 + sum(sum(s.values()) for s in stages)
