@@ -69,11 +69,19 @@ def pixel_norm(x, eps=1e-8):
 # (channels in lanes), matching the blur dots.  Public interfaces (images,
 # noise, feature taps, weights) stay NCHW/OIHW — boundary transposes are
 # 3-channel or 4x4-resolution arrays, and tap transposes fuse into the
-# downstream loss reductions.  Default remains nchw pending a TPU A/B.
+# downstream loss reductions.  Default 'auto' = nhwc on TPU (A/B: step2
+# 59.7 -> 50.7 ms/iter alone, 44.4 combined with bf16 activations; fidelity
+# gated by tools/check_precision.py -> PRECISION_CHECK.json), nchw elsewhere
+# (CPU goldens run both layouts via the env override + the committed
+# cross-layout parity test).
 
 
 def _nhwc():
-    return os.environ.get("G2S_CONV_LAYOUT", "nchw") == "nhwc"
+    mode = os.environ.get("G2S_CONV_LAYOUT", "auto")
+    if mode == "auto":
+        import jax
+        return jax.default_backend() == "tpu"
+    return mode == "nhwc"
 
 
 def _ch_axis():

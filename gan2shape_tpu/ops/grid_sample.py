@@ -67,13 +67,38 @@ def grid_sample(x, grid, mode="bilinear"):
         ix = jnp.round(gx).astype(jnp.int32)
         iy = jnp.round(gy).astype(jnp.int32)
         valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+
+        def gather_path(x, gy, gx, iy, ix, valid):
+            xf = x.reshape(b, c, h * w)
+            idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+            out = _gather_2d(xf, idx) * valid[:, None, :].astype(x.dtype)
+            return out.reshape(b, c, hg, wg)
+
         if (hg == h and wg == w
                 and os.environ.get("G2S_FETCH_XL", "gather") == "block"):
+            # the planes fetch only pays when one of its fast routes (Pallas
+            # small-displacement roll or block gather) is live; on
+            # spread-violating steep warps its per-pixel fallback is ~2x a
+            # single-element gather (measured: step2 59.7 -> 63.5 ms/iter
+            # when forced) — route by the SAME runtime spread predicate the
+            # block cond uses, so steep warps keep the plain gather
+            from gan2shape_tpu.ops.gather_window import (
+                _block_cfg, _block_spread_ok)
+            bs, k = _block_cfg()
+            if bs > 1 and h % bs == 0 and w % bs == 0 and k <= min(h, w):
+                iy0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, h - 2)
+                ix0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 2)
+                from gan2shape_tpu.ops.gather_window import _disp, _area
+                from gan2shape_tpu.ops.gather_window import _area_limit
+                iy0g = iy0.reshape(b, h, w)
+                ix0g = ix0.reshape(b, h, w)
+                dyv, dxv = _disp(iy0g, ix0g, h, w)
+                fast = (_block_spread_ok(iy0g, ix0g, bs, k)
+                        | (_area(dyv, dxv) <= _area_limit()))
+                return jax.lax.cond(fast, _nearest_planes, gather_path,
+                                    x, gy, gx, iy, ix, valid)
             return _nearest_planes(x, gy, gx, iy, ix, valid)
-        xf = x.reshape(b, c, h * w)
-        idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-        out = _gather_2d(xf, idx) * valid[:, None, :].astype(x.dtype)
-        return out.reshape(b, c, hg, wg)
+        return gather_path(x, gy, gx, iy, ix, valid)
 
     if mode != "bilinear":
         raise ValueError(f"unsupported mode: {mode}")

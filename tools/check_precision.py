@@ -92,9 +92,11 @@ def main():
     trajs = {}
     worker_env = {
         "highest": {"G2S_MATMUL_PRECISION": "highest",
-                    "G2S_ACT_DTYPE": "float32"},
+                    "G2S_ACT_DTYPE": "float32",
+                    "G2S_CONV_LAYOUT": "nchw"},
         "default": {"G2S_MATMUL_PRECISION": "default",
-                    "G2S_ACT_DTYPE": "bfloat16"},
+                    "G2S_ACT_DTYPE": "bfloat16",
+                    "G2S_CONV_LAYOUT": "nhwc"},
     }
     for prec in ("highest", "default"):
         env = dict(os.environ, **worker_env[prec])
