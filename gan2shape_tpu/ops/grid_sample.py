@@ -48,6 +48,91 @@ def _nearest_planes(x, gy, gx, iyr, ixr, valid):
     return out * valid.reshape(b, 1, h, w).astype(x.dtype)
 
 
+def grid_sample_im_mask(x, mask, grid):
+    """Fused bilinear image + nearest mask sampling at the SAME grid
+    (the pseudo-sample hot path, renderer.render_given_view: reference
+    renderer.py:261-263 samples image bilinear and mask nearest from one
+    warp grid).  XLA gathers cost ~17 ns per INDEX with slice size nearly
+    free, so fetching the channel-concatenated (im | mask) 2x2 windows in
+    ONE planes fetch makes the mask's nearest sample a free tap-select
+    over the already-fetched window (round(g) is always a corner of the
+    window at floor(g)) — deletes the 262k single-element nearest gather
+    (~2.8 ms/iter at b=16 in step 2, trace-verified).
+
+    x: (B, C, H, W); mask: (B, Cm, H, W); grid: (B, H, W, 2) pixel-aligned.
+    Returns (warped_im (B, C, H, W), warped_mask (B, Cm, H, W)), bit-equal
+    to grid_sample(x, grid, 'bilinear') / grid_sample(mask, grid,
+    'nearest').  Falls back to the two separate calls when the grid is not
+    pixel-aligned or dtypes differ."""
+    b, c, h, w = x.shape
+    cm = mask.shape[1]
+    _, hg, wg, _ = grid.shape
+    if (hg, wg) != (h, w) or mask.dtype != x.dtype:
+        return (grid_sample(x, grid, mode="bilinear"),
+                grid_sample(mask, grid, mode="nearest"))
+
+    gx = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    gx = gx.reshape(b, h * w)
+    gy = gy.reshape(b, h * w)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    wx1 = gx - x0
+    wx0 = 1.0 - wx1
+    wy1 = gy - y0
+    wy0 = 1.0 - wy1
+    x0c = jnp.clip(ix0, 0, w - 2)
+    y0c = jnp.clip(iy0, 0, h - 2)
+    dx = ix0 - x0c
+    dy = iy0 - y0c
+
+    from gan2shape_tpu.ops.gather_window import gather_window2x2_planes
+
+    planes = gather_window2x2_planes(
+        jnp.concatenate([x, mask], 1),
+        y0c.reshape(b, h, w), x0c.reshape(b, h, w))  # (B, 2, 2, C+Cm, H, W)
+    imp = planes[:, :, :, :c]
+    mkp = planes[:, :, :, c:]
+
+    # bilinear image taps (identical math to grid_sample's pixel-aligned
+    # branch)
+    dyg = dy.reshape(b, 1, h, w)
+    dxg = dx.reshape(b, 1, h, w)
+
+    def tap_p(p, a, bb):
+        ra = jnp.clip(dyg + a, 0, 1) == 1
+        rb = jnp.clip(dxg + bb, 0, 1) == 1
+        p0 = jnp.where(rb, p[:, 0, 1], p[:, 0, 0])
+        p1 = jnp.where(rb, p[:, 1, 1], p[:, 1, 0])
+        return jnp.where(ra, p1, p0)
+
+    out = jnp.zeros((b, c, h, w), x.dtype)
+    for a, wy in ((0, wy0), (1, wy1)):
+        for bb, wx in ((0, wx0), (1, wx1)):
+            jj = ix0 + bb
+            ii = iy0 + a
+            valid = ((jj >= 0) & (jj <= w - 1)
+                     & (ii >= 0) & (ii <= h - 1))
+            wgt = ((wy * wx) * valid.astype(x.dtype)).reshape(b, 1, h, w)
+            out = out + tap_p(imp, a, bb) * wgt
+
+    # nearest mask tap: round(g) corner of the floor window (the
+    # _nearest_planes select, with the same validity semantics)
+    ixr = jnp.round(gx).astype(jnp.int32)
+    iyr = jnp.round(gy).astype(jnp.int32)
+    mvalid = ((ixr >= 0) & (ixr <= w - 1) & (iyr >= 0) & (iyr <= h - 1))
+    a = jnp.clip(jnp.clip(iyr, 0, h - 1) - y0c, 0, 1).reshape(b, 1, h, w)
+    s = jnp.clip(jnp.clip(ixr, 0, w - 1) - x0c, 0, 1).reshape(b, 1, h, w)
+    m0 = jnp.where(s == 1, mkp[:, 0, 1], mkp[:, 0, 0])
+    m1 = jnp.where(s == 1, mkp[:, 1, 1], mkp[:, 1, 0])
+    mout = jnp.where(a == 1, m1, m0)
+    mout = mout * mvalid.reshape(b, 1, h, w).astype(x.dtype)
+    return out, mout
+
+
 def grid_sample(x, grid, mode="bilinear"):
     """Sample `x` (B, C, H, W) at `grid` (B, Hg, Wg, 2) locations.
 

@@ -35,7 +35,7 @@ def _mm(a, b):
 from gan2shape_tpu.ops.rasterize import (
     grid_faces, rasterize_depth, rasterize_attributes,
 )
-from gan2shape_tpu.ops.grid_sample import grid_sample
+from gan2shape_tpu.ops.grid_sample import grid_sample, grid_sample_im_mask
 
 EPS = 1e-7
 
@@ -241,11 +241,12 @@ class Renderer:
             recon_depth = self.warp_canon_depth(depth, rot_mat, trans_xyz,
                                                 raster_mode=raster_mode)
             grid = self.get_inv_warped_2d_grid(recon_depth, rot_mat, trans_xyz)
-            warped = grid_sample(im, grid, mode="bilinear")
             if mask is not None:
-                warped_mask = grid_sample(mask, grid, mode="nearest")
-                return warped, warped_mask
-            return warped
+                # one channel-concatenated planes fetch serves both the
+                # bilinear image warp and the nearest mask warp (reference
+                # renderer.py:261-263); bit-equal to the separate calls
+                return grid_sample_im_mask(im, mask, grid)
+            return grid_sample(im, grid, mode="bilinear")
         pts = self.get_warped_3d_grid(depth, rot_mat, trans_xyz)
         img, m = self.render_mesh_rgb(im, pts, mask=mask)
         if mask is not None:

@@ -374,3 +374,46 @@ def test_gather_window_planes_bf16_primal_vjp_dtype(rng):
     (dsrc,) = vjp(jnp.ones_like(out))
     assert dsrc.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(dsrc.astype(jnp.float32)).all())
+
+
+def test_grid_sample_im_mask_matches_separate_calls(rng):
+    """The fused im+mask sampler (one channel-concatenated planes fetch,
+    renderer.render_given_view's hot path) must be bit-equal to the two
+    separate grid_sample calls — values, including out-of-bounds samples,
+    and the image gradient."""
+    from gan2shape_tpu.ops.grid_sample import grid_sample_im_mask
+
+    b, c, h, w = 2, 3, 16, 24
+    x = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.random((b, 2, h, w)) > 0.4).astype(np.float32))
+    g = rng.uniform(-1.3, 1.3, (b, h, w, 2)).astype(np.float32)
+    grid = jnp.asarray(g)
+    cot = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+
+    want_im, vjp_w = jax.vjp(lambda xx: grid_sample(xx, grid, "bilinear"), x)
+    want_mk = grid_sample(mask, grid, "nearest")
+    gw_w = vjp_w(cot)[0]
+
+    (got_im, got_mk), vjp_f = jax.vjp(
+        lambda xx: grid_sample_im_mask(xx, mask, grid), x)
+    gw_f = vjp_f((cot, jnp.zeros_like(got_mk)))[0]
+
+    np.testing.assert_array_equal(np.asarray(got_im), np.asarray(want_im))
+    np.testing.assert_array_equal(np.asarray(got_mk), np.asarray(want_mk))
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_w),
+                               rtol=0, atol=1e-6)
+
+
+def test_grid_sample_im_mask_non_pixel_aligned_fallback(rng):
+    from gan2shape_tpu.ops.grid_sample import grid_sample_im_mask
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 9, 7)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 1, 9, 7)) > 0.5).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.random((2, 5, 6, 2)).astype(np.float32) * 2.4 - 1.2))
+    got_im, got_mk = grid_sample_im_mask(x, mask, grid)
+    np.testing.assert_array_equal(
+        np.asarray(got_im), np.asarray(grid_sample(x, grid, "bilinear")))
+    np.testing.assert_array_equal(
+        np.asarray(got_mk), np.asarray(grid_sample(mask, grid, "nearest")))

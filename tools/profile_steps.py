@@ -96,7 +96,7 @@ def main():
         return l3
 
     print(f"device={jax.devices()[0]} precision="
-          f"{os.environ.get('G2S_MATMUL_PRECISION', 'high')} size={s} "
+          f"{os.environ.get('G2S_MATMUL_PRECISION', 'default')} size={s} "
           f"n_proj={args.n_proj} iters={n}")
     m_p = timed("prior", prior_fn)
     m_1 = timed("step1", step1_fn)
