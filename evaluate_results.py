@@ -28,6 +28,15 @@ def main():
                         action="store_true")
     parser.add_argument("--images", dest="IMAGES", action="append", type=int,
                         default=None, nargs="+")
+    parser.add_argument("--stage", dest="STAGE", default="*",
+                        help="glob selector on the checkpoint stage "
+                             "(reference config key `stage`, main.py:111)")
+    parser.add_argument("--iteration", dest="ITERATION", default="*",
+                        help="glob selector on the checkpoint iteration "
+                             "count (reference config key `iteration`)")
+    parser.add_argument("--time", dest="TIME", default="*",
+                        help="glob selector on the checkpoint timestamp "
+                             "(reference config key `time`)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -59,12 +68,14 @@ def main():
     masker = make_masking_model(args.CATEGORY, config["image_size"])
 
     losses = []
+    sel = dict(stage=args.STAGE, iteration=args.ITERATION, time=args.TIME)
     if args.GENERAL:
-        params = mgr.load_latest_general(args.CATEGORY, params_template)
+        params = mgr.load_latest_general(args.CATEGORY, params_template,
+                                         **sel)
         pairs = ((i, params) for i in range(len(dataset)))
     else:
         pairs = ((int(img), p) for img, p in
-                 mgr.load_per_image(args.CATEGORY, params_template))
+                 mgr.load_per_image(args.CATEGORY, params_template, **sel))
 
     originals, recons = [], []
     for img_idx, params in pairs:

@@ -115,8 +115,13 @@ class Trainer:
                              {"VLADE_nets": "checkpoints/our_nets"}
                              )["VLADE_nets"])
         if load_dict is not None:
+            # stage/iteration/time selectors (reference main.py:111-113:
+            # config keys narrow the resume glob, default "*")
             self.params = self.ckpt.load_latest_general(
-                load_dict["category"], self.params)
+                load_dict["category"], self.params,
+                stage=load_dict.get("stage", "*"),
+                iteration=load_dict.get("iteration", "*"),
+                time=load_dict.get("time", "*"))
         self.load_dict = load_dict
 
         self._build_jitted_steps()

@@ -63,9 +63,17 @@ def grid_sample_im_mask(x, mask, grid):
     Returns (warped_im (B, C, H, W), warped_mask (B, Cm, H, W)), bit-equal
     to grid_sample(x, grid, 'bilinear') / grid_sample(mask, grid,
     'nearest').  Falls back to the two separate calls when the grid is not
-    pixel-aligned or dtypes differ."""
+    pixel-aligned or dtypes differ.
+
+    Note on Pallas routing: the fused fetch concatenates image+mask into a
+    C+Cm-channel planes fetch, and gather_window2x2_planes' fast Pallas
+    small-displacement routes are gated on c==3 (_pixel_grid_ok) — so fused
+    calls always take the block-gather / fallback routes.  Inert for the
+    live pseudo-view path (its displacement bbox area exceeds
+    G2S_FETCH_AREA_LIMIT anyway, PERF_NOTES #9), but a future caller with
+    near-identity warps should either split the calls or generalize
+    _pixel_grid_ok to arbitrary channel counts."""
     b, c, h, w = x.shape
-    cm = mask.shape[1]
     _, hg, wg, _ = grid.shape
     if (hg, wg) != (h, w) or mask.dtype != x.dtype:
         return (grid_sample(x, grid, mode="bilinear"),

@@ -112,8 +112,13 @@ def main():
 
     load_dict = None
     if args.LOAD_PRETRAINED:
+        # stage/iteration/time come from the config like the reference
+        # (main.py:111-113) — glob-style selectors, default "*"
         load_dict = {"category": category,
-                     "base_path": config.get("our_nets_ckpts")["VLADE_nets"]}
+                     "base_path": config.get("our_nets_ckpts")["VLADE_nets"],
+                     "stage": config.get("stage", "*"),
+                     "iteration": config.get("iteration", "*"),
+                     "time": config.get("time", "*")}
 
     if not args.SAVE_CKPTS:
         print(">>> Warning, not saving checkpoints. "

@@ -73,6 +73,74 @@ def test_config_merge(tmp_path):
     assert cfg["prior_name"] == DEFAULTS["prior_name"]
 
 
+def _tiny_params(seed=0):
+    from gan2shape_tpu.core.checkpoint import NETS
+    rng = np.random.default_rng(seed)
+    return {net: {"w": jnp.asarray(rng.standard_normal(4).astype(np.float32))}
+            for net in NETS}
+
+
+def test_checkpoint_latest_is_temporal_not_lexical(tmp_path):
+    """Multi-image + stage>=10 ordering: the lexical filename sort would put
+    manifest_image_10_stage_11_... BEFORE manifest_image_2_stage_1_... —
+    'latest' must follow save time (tie-broken by stage/total_it), reference
+    resume semantics main.py:106-114."""
+    from gan2shape_tpu.core.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    older = _tiny_params(1)
+    newer = _tiny_params(2)
+    mgr.save(older, img_idx=2, stage=1, total_it=100, category="face")
+    mgr.save(newer, img_idx=10, stage=11, total_it=50, category="face")
+
+    template = _tiny_params(9)
+    got = mgr.load_latest_general("face", template)
+    np.testing.assert_array_equal(np.asarray(got["depth"]["w"]),
+                                  np.asarray(newer["depth"]["w"]))
+
+
+def test_checkpoint_selectors_and_per_image(tmp_path):
+    """stage/iteration/time glob selectors (reference main.py:111-113,
+    model.py:426-428) + per-image latest selection."""
+    from gan2shape_tpu.core.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    p_s0 = _tiny_params(1)
+    p_s1 = _tiny_params(2)
+    p_img1 = _tiny_params(3)
+    mgr.save(p_s0, img_idx=0, stage=0, total_it=10, category="cat")
+    mgr.save(p_s1, img_idx=0, stage=1, total_it=20, category="cat")
+    mgr.save(p_img1, img_idx=1, stage=0, total_it=10, category="cat")
+
+    template = _tiny_params(9)
+    # resume from a specific stage even when a later one exists (two stage-0
+    # saves may share a timestamp — either is a valid "latest", but the
+    # stage-1 save must be excluded)
+    got = mgr.load_latest_general("cat", template, stage="0")
+    w = np.asarray(got["depth"]["w"])
+    assert (np.array_equal(w, np.asarray(p_s0["depth"]["w"]))
+            or np.array_equal(w, np.asarray(p_img1["depth"]["w"])))
+    assert not np.array_equal(w, np.asarray(p_s1["depth"]["w"]))
+    assert len(mgr.select("cat", stage="0")) == 2
+
+    # time selector: exact stamp of the stage-1 save narrows to it
+    stamp = [m for m in mgr.manifests("cat")
+             if m["stage"] == 1][0]["time"]
+    got = mgr.load_latest_general("cat", template, time=stamp)
+    np.testing.assert_array_equal(np.asarray(got["depth"]["w"]),
+                                  np.asarray(p_s1["depth"]["w"]))
+
+    # unmatched selector errors like a missing checkpoint dir
+    with pytest.raises(FileNotFoundError):
+        mgr.load_latest_general("cat", template, stage="7")
+
+    # per-image iteration yields each image's (temporally) latest
+    pairs = dict(mgr.load_per_image("cat", template))
+    assert sorted(pairs) == ["0", "1"]
+    np.testing.assert_array_equal(np.asarray(pairs["0"]["depth"]["w"]),
+                                  np.asarray(p_s1["depth"]["w"]))
+    np.testing.assert_array_equal(np.asarray(pairs["1"]["depth"]["w"]),
+                                  np.asarray(p_img1["depth"]["w"]))
+
+
 @pytest.mark.slow
 def test_stylegan2_train_step(rng):
     from gan2shape_tpu.models.stylegan2_train import StyleGAN2Trainer

@@ -391,18 +391,31 @@ def test_grid_sample_im_mask_matches_separate_calls(rng):
     grid = jnp.asarray(g)
     cot = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
 
-    want_im, vjp_w = jax.vjp(lambda xx: grid_sample(xx, grid, "bilinear"), x)
-    want_mk = grid_sample(mask, grid, "nearest")
-    gw_w = vjp_w(cot)[0]
+    cot_mk = jnp.asarray(rng.standard_normal((b, 2, h, w)).astype(np.float32))
+
+    want_im, vjp_wi = jax.vjp(
+        lambda xx, gg: grid_sample(xx, gg, "bilinear"), x, grid)
+    want_mk, vjp_wm = jax.vjp(
+        lambda mm, gg: grid_sample(mm, gg, "nearest"), mask, grid)
+    gw_x, gw_g_im = vjp_wi(cot)
+    gw_m, gw_g_mk = vjp_wm(cot_mk)
 
     (got_im, got_mk), vjp_f = jax.vjp(
-        lambda xx: grid_sample_im_mask(xx, mask, grid), x)
-    gw_f = vjp_f((cot, jnp.zeros_like(got_mk)))[0]
+        lambda xx, mm, gg: grid_sample_im_mask(xx, mm, gg), x, mask, grid)
+    # nonzero cotangents on BOTH outputs: exercises the mask-gradient path
+    # (mask cotangent flowing through the fused planes-fetch VJP into the
+    # mask input) and the grid gradient, not just d/d(image)
+    gf_x, gf_m, gf_g = vjp_f((cot, cot_mk))
 
     np.testing.assert_array_equal(np.asarray(got_im), np.asarray(want_im))
     np.testing.assert_array_equal(np.asarray(got_mk), np.asarray(want_mk))
-    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_w),
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gw_x),
                                rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_m), np.asarray(gw_m),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_g),
+                               np.asarray(gw_g_im + gw_g_mk),
+                               rtol=0, atol=1e-5)
 
 
 def test_grid_sample_im_mask_non_pixel_aligned_fallback(rng):
