@@ -94,6 +94,50 @@ class LatentDataset:
         return load_latent(path.join(self.root_dir, self.latent_folder, name))
 
 
+class MultiResolutionDataset:
+    """Multi-resolution training dataset for the StyleGAN2 trainer
+    (behavioral parity target: the reference's LMDB-backed
+    MultiResolutionDataset, stylegan2-pytorch/dataset.py:7-40) — backed by
+    the native mmap cache (gan2shape_tpu/native) instead of LMDB: one flat
+    uint8 CHW record file per resolution (`{path}/{res}.bin`) plus a
+    `meta.json`, written by tools/prepare_data.py.  Returns float32 images
+    in [-1, 1] (the reference's ToTensor + Normalize(0.5, 0.5))."""
+
+    def __init__(self, root, resolution=256):
+        import json
+        meta_path = path.join(root, "meta.json")
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"{e}\nRun tools/prepare_data.py to build the cache") from e
+        if resolution not in meta["sizes"]:
+            raise ValueError(f"resolution {resolution} not in prepared "
+                             f"sizes {meta['sizes']}")
+        from gan2shape_tpu.native import TensorCache
+        self.resolution = resolution
+        self.length = int(meta["length"])
+        self.cache = TensorCache(path.join(root, f"{resolution}.bin"),
+                                 self.length,
+                                 (3, resolution, resolution), "uint8")
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        return self.cache.get_batch([index])[0]
+
+    def get_batch(self, indices, flip=None):
+        """Batched fetch (one native mmap read per record); `flip` is an
+        optional boolean mask applying per-sample horizontal flips (the
+        reference's RandomHorizontalFlip, train.py:507-513)."""
+        batch = self.cache.get_batch(indices)
+        if flip is not None:
+            batch[flip] = batch[flip][..., ::-1]
+        return batch
+
+
 class ImageLatentDataset:
     """(reference dataset.py:64-79): (image, w_latent, index) triples."""
 
