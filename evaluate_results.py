@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--time", dest="TIME", default="*",
                         help="glob selector on the checkpoint timestamp "
                              "(reference config key `time`)")
+    parser.add_argument("--gallery", dest="GALLERY", action="store_true",
+                        help="assemble all per-image artifacts into "
+                             "results/index.html (the reference's "
+                             "docs/index.html gallery)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -108,6 +112,11 @@ def main():
         np.save("results/step1_losses.npy", np.asarray(losses))
         print(f"step-1 loss mean={np.mean(losses):.5f} "
               f"std={np.std(losses):.5f} over {len(losses)} images")
+
+    if args.GALLERY:
+        out = plotting.make_gallery()
+        if out:
+            print(f"gallery written to {out}")
 
 
 if __name__ == "__main__":

@@ -211,6 +211,73 @@ def plot_originals_v_reconstructions(originals, reconstructions, n=4):
     plt.close(fig)
 
 
+def make_gallery(results_dir="results", title="GAN2Shape Results"):
+    """Assemble the per-image artifacts (interactive 3D HTML viewers,
+    reconstruction plots, rotating GIFs) into one results/index.html —
+    the reference's qualitative gallery (reference README.md:4-11,
+    docs/index.html).  Self-contained collapsible sections (no CDN
+    dependencies, unlike the reference's Bootstrap/Vue page) with the
+    interactive viewers embedded via <object> exactly like docs/index.html.
+
+    Returns the gallery path, or None when there is nothing to collect."""
+    import glob
+    import re
+
+    htmls = sorted(glob.glob(os.path.join(results_dir, "htmls",
+                                          "depth_*.html")))
+    if not htmls:
+        log.warning("make_gallery: no per-image htmls under %s", results_dir)
+        return None
+
+    def idx_of(p):
+        m = re.search(r"depth_(\w+)\.html$", p)
+        return m.group(1) if m else p
+
+    sections = []
+    for p in htmls:
+        idx = idx_of(p)
+        rel_html = os.path.relpath(p, results_dir)
+        gif = os.path.join(results_dir, "plots", f"depth3d_{idx}.gif")
+        recons = sorted(glob.glob(os.path.join(
+            results_dir, "plots", f"recon_*_im_{idx}*.png")))
+        media = [f'<object data="{rel_html}" style="height:50vh;'
+                 f'width:45vw""></object>']
+        if os.path.exists(gif):
+            media.append(f'<img src="plots/depth3d_{idx}.gif" '
+                         f'style="height:30vh">')
+        if recons:
+            media.append(f'<img src="{os.path.relpath(recons[-1], results_dir)}"'
+                         f' style="height:30vh">')
+        sections.append(
+            f"<details open><summary>image {idx}</summary>"
+            f"<div class='row'>{''.join(media)}</div></details>")
+
+    extra = ""
+    ovr = os.path.join(results_dir, "plots",
+                       "originals_v_reconstructions.png")
+    if os.path.exists(ovr):
+        extra = ("<details open><summary>originals vs reconstructions"
+                 "</summary><img src='plots/originals_v_reconstructions.png'"
+                 " style='max-width:90vw'></details>")
+
+    html = f"""<!doctype html><meta charset="utf-8">
+<title>{title}</title>
+<style>body{{font:15px sans-serif;margin:2em;background:#fafafa}}
+summary{{font-size:1.2em;cursor:pointer;padding:.3em 0}}
+.row{{display:flex;flex-wrap:wrap;gap:1em;align-items:center}}
+details{{border-bottom:1px solid #ddd;padding:.5em 0}}</style>
+<h1>{title}</h1>
+<p>{len(htmls)} instances — drag any 3D view to orbit.</p>
+{extra}
+{''.join(sections)}
+"""
+    out = os.path.join(results_dir, "index.html")
+    with open(out, "w") as f:
+        f.write(html)
+    log.info("wrote gallery %s", out)
+    return out
+
+
 def plot_loss_distribution(losses, filename="loss_box"):
     """Box plot + mean/std of the step-1 loss list
     (reference evaluate_results.py:107-114 + plotting.py:190-196)."""

@@ -141,6 +141,24 @@ def test_checkpoint_selectors_and_per_image(tmp_path):
                                   np.asarray(p_img1["depth"]["w"]))
 
 
+def test_make_gallery(tmp_path, rng):
+    """Gallery assembly from per-image artifacts (reference docs/index.html
+    contract: one entry per instance embedding the interactive viewer)."""
+    from gan2shape_tpu.utils.plotting import write_3d_html, make_gallery
+    res = tmp_path / "results"
+    (res / "htmls").mkdir(parents=True)
+    (res / "plots").mkdir()
+    z = rng.standard_normal((8, 8)).astype(np.float32)
+    for i in range(2):
+        write_3d_html(z, None, str(res / "htmls" / f"depth_{i}.html"))
+    out = make_gallery(str(res))
+    assert out and out.endswith("index.html")
+    html = open(out).read()
+    assert "htmls/depth_0.html" in html and "htmls/depth_1.html" in html
+    # empty dir -> graceful None
+    assert make_gallery(str(tmp_path / "nowhere")) is None
+
+
 @pytest.mark.slow
 def test_stylegan2_train_step(rng):
     """Main alternating step + EMA accumulation math + lazy R1 + lazy
