@@ -54,6 +54,21 @@ def _split(params, subset):
     return sub, rest
 
 
+def chunk_sizes(n, chunk):
+    """Decompose an iteration count into repeats of `chunk` plus a
+    remainder.  Mathematically identical to one scan of length n (the
+    optimizer/param carry threads through); used by both trainers so every
+    schedule value sharing the chunk compiles ONE executable per step."""
+    if n <= 0:
+        return []
+    if chunk <= 0 or n <= chunk:
+        return [n]
+    out = [chunk] * (n // chunk)
+    if n % chunk:
+        out.append(n % chunk)
+    return out
+
+
 def _cat(chunks):
     """Concatenate per-chunk loss arrays (empty list -> empty array, so
     zero-iteration steps don't crash the logging path)."""
@@ -131,20 +146,10 @@ class Trainer:
         return k
 
     def _chunk_sizes(self, n):
-        """Decompose an iteration count into repeats of `compile_chunk` plus
-        a remainder.  Mathematically identical to one scan of length n (the
-        optimizer/param carry threads through); step-2's PRNG consumes one
-        fresh key per chunk instead of one per block — a different but
-        equally valid sample stream."""
-        c = self.compile_chunk
-        if n <= 0:
-            return []
-        if c <= 0 or n <= c:
-            return [n]
-        out = [c] * (n // c)
-        if n % c:
-            out.append(n % c)
-        return out
+        """See chunk_sizes.  Step-2's PRNG consumes one fresh key per chunk
+        instead of one per block — a different but equally valid sample
+        stream."""
+        return chunk_sizes(n, self.compile_chunk)
 
     # ---------------- jitted runners ----------------
 

@@ -14,6 +14,7 @@ propagation — see GeneralizingTrainer + batch sharding in core/trainer.py.
 """
 
 import logging
+import time
 from functools import partial
 
 import numpy as np
@@ -22,7 +23,8 @@ import jax.numpy as jnp
 import optax
 
 from gan2shape_tpu.core.model import GAN2Shape
-from gan2shape_tpu.core.trainer import default_optimizer, _split, STEP_SUBSETS
+from gan2shape_tpu.core.trainer import (
+    default_optimizer, _split, _last, STEP_SUBSETS)
 from gan2shape_tpu.parallel.mesh import (
     make_mesh, instance_sharding, replicated,
 )
@@ -39,8 +41,9 @@ class InstanceParallelTrainer:
     """
 
     def __init__(self, model_config, n_instances, mesh=None, frozen=None,
-                 seed=0, model=None):
+                 seed=0, model=None, save_ckpts=False):
         from gan2shape_tpu.utils.cache import enable_compilation_cache
+        from gan2shape_tpu.core.checkpoint import CheckpointManager
         enable_compilation_cache()
         self.model = model if model is not None else GAN2Shape(model_config)
         self.n = n_instances
@@ -48,6 +51,15 @@ class InstanceParallelTrainer:
         self.n_proj_samples = model_config.get("n_proj_samples", 8)
         self.n_epochs_prior = model_config.get("n_epochs_prior", 1000)
         self.learning_rate = model_config.get("learning_rate", 1e-4)
+        # same chunked-compile scheme as the sequential Trainer: every
+        # iteration count sharing the chunk reuses ONE executable per step
+        self.compile_chunk = int(model_config.get("compile_chunk", 100))
+        self.category = model_config.get("category", "face")
+        self.save_ckpts = save_ckpts
+        self.ckpt = CheckpointManager(
+            model_config.get("our_nets_ckpts",
+                             {"VLADE_nets": "checkpoints/our_nets"}
+                             )["VLADE_nets"])
 
         key = jax.random.PRNGKey(seed)
         kp, kf, self._key = jax.random.split(key, 3)
@@ -132,6 +144,15 @@ class InstanceParallelTrainer:
 
             def s1_loss(sub):
                 return model.step1_iter({**rest, **sub}, frozen, image, inv)
+
+            if n1 == 0:
+                # zero-length chunk (stage schedules step1: 0 but a later
+                # step consumes `collected`): no updates, real albedo
+                _, albedo = s1_loss(sub)
+                collected = (inv["normal"], inv["light_a"], inv["light_b"],
+                             albedo, inv["depth"])
+                return ({**rest, **sub}, opt_state, collected,
+                        jnp.zeros((0,), jnp.float32))
             albedo0 = pvary(jnp.zeros(jax.eval_shape(s1_loss, sub)[1].shape))
 
             def body(carry, _):
@@ -143,13 +164,13 @@ class InstanceParallelTrainer:
             if n1 == 1:  # no scan machinery for single-iteration runs
                 (sub, st, albedo), loss = body((sub, opt_state, albedo0),
                                                None)
+                losses = loss[None]
             else:
                 (sub, st, albedo), losses = jax.lax.scan(
                     body, (sub, opt_state, albedo0), None, length=n1)
-                loss = losses[-1]
             collected = (inv["normal"], inv["light_a"], inv["light_b"],
                          albedo, inv["depth"])
-            return {**rest, **sub}, st, collected, loss
+            return {**rest, **sub}, st, collected, losses
 
         def step2_one(n2, frozen, params, image, latent, collected, key,
                       opt_state):
@@ -163,7 +184,12 @@ class InstanceParallelTrainer:
                                            image, latent, collected, k,
                                            n_proj_samples=n_proj,
                                            invariants=inv2)
-            keys = jax.random.split(key, n2)
+            keys = jax.random.split(key, max(n2, 1))
+            if n2 == 0:
+                # zero-length chunk: step 3 still needs a REAL collected
+                _, coll2 = s2_loss(sub, keys[0])
+                return ({**rest, **sub}, opt_state, coll2,
+                        jnp.zeros((0,), jnp.float32))
             coll20 = jax.tree.map(
                 lambda sd: pvary(jnp.zeros(sd.shape, sd.dtype)),
                 jax.eval_shape(s2_loss, sub, keys[0])[1])
@@ -177,11 +203,11 @@ class InstanceParallelTrainer:
             if n2 == 1:
                 (sub, st, coll2), loss = body((sub, opt_state, coll20),
                                               keys[0])
+                losses = loss[None]
             else:
                 (sub, st, coll2), losses = jax.lax.scan(
                     body, (sub, opt_state, coll20), keys)
-                loss = losses[-1]
-            return {**rest, **sub}, st, coll2, loss
+            return {**rest, **sub}, st, coll2, losses
 
         def step3_one(n3, frozen, params, image, latent, coll2, opt_state):
             image = image[None]
@@ -199,11 +225,11 @@ class InstanceParallelTrainer:
                 return (optax.apply_updates(sub, upd), s), loss
             if n3 == 1:
                 (sub, st), loss = body((sub, opt_state), None)
+                losses = loss[None]
             else:
                 (sub, st), losses = jax.lax.scan(body, (sub, opt_state),
                                                  None, length=n3)
-                loss = losses[-1]
-            return {**rest, **sub}, st, loss
+            return {**rest, **sub}, st, losses
 
         @partial(jax.jit, static_argnames=("n1",), donate_argnums=(1, 2))
         def run_stage1(frozen, params, opt_state, images, n1):
@@ -262,12 +288,24 @@ class InstanceParallelTrainer:
         return jax.device_put(states, self._inst)
 
     def fit(self, images, latents, priors=None, stages=None,
-            reset_opt=False):
+            reset_opt=False, data_indices=None):
         """images (N,3,H,W), latents (N,D), priors (N,H,W) — all numpy/jnp.
 
         Optimizer moments carry across calls; pass reset_opt=True for the
-        reference's fresh-Adam-per-fit behavior."""
+        reference's fresh-Adam-per-fit behavior.  `data_indices` names each
+        instance for checkpointing/eval (defaults to 0..N-1); checkpoints
+        are the same per-image manifests the sequential Trainer writes, so
+        `evaluate_results.py` consumes this trainer's output unchanged.
+
+        Iteration blocks run as `compile_chunk`-sized repeats (one compiled
+        executable per step for the whole schedule, exactly like the
+        sequential Trainer), and the returned history carries the FULL
+        per-iteration loss curve per instance."""
+        from gan2shape_tpu.core.trainer import chunk_sizes
+
         stages = stages or [{"step1": 1, "step2": 1, "step3": 1}]
+        if data_indices is None:
+            data_indices = list(range(self.n))
         images = jax.device_put(jnp.asarray(images), self._inst)
         latents = jax.device_put(jnp.asarray(latents), self._inst)
 
@@ -283,25 +321,72 @@ class InstanceParallelTrainer:
             self.opt_states = self.init_opt_states()
         st1, st2, st3 = self.opt_states
         history = []
+        total_it = 0
+
+        def cat(chunks, axis=1):
+            if not chunks:
+                return np.zeros((self.n, 0), np.float32)
+            return np.concatenate([np.asarray(c) for c in chunks], axis)
+
         for i, stage in enumerate(stages):
-            keys = jax.random.split(self._next_key(), self.n)
-            self.params, st1, collected, l1 = self._run_stage1(
-                self.frozen, self.params, st1, images, n1=stage["step1"])
-            self.params, st2, coll2, l2 = self._run_stage2(
-                self.frozen, self.params, st2, images, latents, collected,
-                keys, n2=stage["step2"])
-            self.params, st3, l3 = self._run_stage3(
-                self.frozen, self.params, st3, images, latents, coll2,
-                n3=stage["step3"])
-            rec = {"stage": i,
-                   "loss_step1": np.asarray(l1).mean().item(),
-                   "loss_step2": np.asarray(l2).mean().item(),
-                   "loss_step3": np.asarray(l3).mean().item()}
-            history.append(rec)
-            log.info("stage %d: %.4f/%.4f/%.4f", i, rec["loss_step1"],
-                     rec["loss_step2"], rec["loss_step3"])
+            t0 = time.time()
+            # zero-iteration guard mirrors the sequential trainer: a step
+            # scheduling 0 iterations still issues one zero-length call IF
+            # a later step consumes its collected output
+            need1 = [0] if (stage["step2"] or stage["step3"]) else []
+            need2 = [0] if stage["step3"] else []
+            l1s, l2s, l3s = [], [], []
+            collected = coll2 = None
+            for c in (chunk_sizes(stage["step1"], self.compile_chunk)
+                      or need1):
+                self.params, st1, collected, l1c = self._run_stage1(
+                    self.frozen, self.params, st1, images, n1=c)
+                l1s.append(l1c)
+            for c in (chunk_sizes(stage["step2"], self.compile_chunk)
+                      or need2):
+                keys = jax.random.split(self._next_key(), self.n)
+                self.params, st2, coll2, l2c = self._run_stage2(
+                    self.frozen, self.params, st2, images, latents,
+                    collected, keys, n2=c)
+                l2s.append(l2c)
+            for c in chunk_sizes(stage["step3"], self.compile_chunk):
+                self.params, st3, l3c = self._run_stage3(
+                    self.frozen, self.params, st3, images, latents, coll2,
+                    n3=c)
+                l3s.append(l3c)
+            if l3s:
+                jax.block_until_ready(l3s[-1])
+            dt = time.time() - t0
+            l1, l2, l3 = cat(l1s), cat(l2s), cat(l3s)
+            n_it = l1.shape[1] + l2.shape[1] + l3.shape[1]
+            total_it += n_it
+            # per-instance records with the sequential Trainer's schema
+            for j, idx in enumerate(data_indices):
+                history.append({
+                    "image": int(idx), "stage": i,
+                    "loss_step1": _last(l1[j]), "loss_step2": _last(l2[j]),
+                    "loss_step3": _last(l3[j]), "seconds": dt,
+                    "total_it": total_it,
+                    "losses_step1": l1[j].tolist(),
+                    "losses_step2": l2[j].tolist(),
+                    "losses_step3": l3[j].tolist()})
+            log.info("stage %d: %.4f/%.4f/%.4f (%.1fs, %d instances)", i,
+                     float(np.nanmean(l1[:, -1])) if l1.size else float("nan"),
+                     float(np.nanmean(l2[:, -1])) if l2.size else float("nan"),
+                     float(np.nanmean(l3[:, -1])) if l3.size else float("nan"),
+                     dt, self.n)
+            if self.save_ckpts:
+                self.save_checkpoints(data_indices, i, total_it)
         self.opt_states = (st1, st2, st3)
         return history
+
+    def save_checkpoints(self, data_indices, stage, total_it):
+        """Per-instance checkpoints in the sequential Trainer's manifest
+        format (one per image, same files evaluate_results.py globs)."""
+        host = jax.device_get(self.params)
+        for j, idx in enumerate(data_indices):
+            params_j = jax.tree.map(lambda x: x[j], host)
+            self.ckpt.save(params_j, idx, stage, total_it, self.category)
 
     def evaluate(self, images):
         """Returns (recon_im (N,3,H,W), recon_depth (N,H,W))."""

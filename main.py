@@ -145,17 +145,19 @@ def main():
         model = GAN2Shape(config)
         frozen = build_frozen_assets(model, config)
         trainer = InstanceParallelTrainer(config, n_instances=n,
-                                          frozen=frozen, model=model)
+                                          frozen=frozen, model=model,
+                                          save_ckpts=args.SAVE_CKPTS)
         pg = PriorGenerator(config.get("image_size"), category,
                             config.get("prior_name", "ellipsoid"))
-        ims, lats, prs = [], [], []
+        ims, lats, prs, idxs = [], [], [], []
         for i in range(n):
-            im, lat, _ = images_latents[i]
+            im, lat, idx = images_latents[i]
             ims.append(im)
             lats.append(lat)
             prs.append(pg(im)[0])
+            idxs.append(int(idx))
         trainer.fit(np.stack(ims), np.stack(lats), np.stack(prs),
-                    stages=stages)
+                    stages=stages, data_indices=idxs)
         return
 
     trainer = trainer_cls(config, debug=args.DEBUG, plot_intermediate=True,

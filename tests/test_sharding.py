@@ -47,10 +47,19 @@ def test_instance_parallel_stage():
 
     history = trainer.fit(images, latents, priors,
                           stages=[{"step1": 1, "step2": 1, "step3": 1}])
-    assert len(history) == 1
-    assert np.isfinite(history[0]["loss_step1"])
-    assert np.isfinite(history[0]["loss_step2"])
-    assert np.isfinite(history[0]["loss_step3"])
+    # one record per (instance, stage), sequential-Trainer schema incl.
+    # the full per-iteration loss curves
+    assert len(history) == n
+    assert sorted(h["image"] for h in history) == list(range(n))
+    for h in history:
+        assert np.isfinite(h["loss_step1"])
+        assert np.isfinite(h["loss_step2"])
+        assert np.isfinite(h["loss_step3"])
+        assert len(h["losses_step1"]) == 1
+        assert len(h["losses_step2"]) == 1
+        assert len(h["losses_step3"]) == 1
+    # instances see different images -> different loss values
+    assert history[0]["loss_step1"] != history[1]["loss_step1"]
 
     # per-instance params are sharded over the mesh
     leaf = jax.tree_util.tree_leaves(trainer.params)[0]
@@ -98,6 +107,7 @@ def test_instance_parallel_multiple_per_device():
 
     history = trainer.fit(images, latents, priors,
                           stages=[{"step1": 1, "step2": 1, "step3": 1}])
+    assert len(history) == n
     assert np.isfinite(history[0]["loss_step1"])
     assert np.isfinite(history[0]["loss_step2"])
     assert np.isfinite(history[0]["loss_step3"])
@@ -107,3 +117,37 @@ def test_instance_parallel_multiple_per_device():
     depths = np.asarray(
         jax.tree_util.tree_leaves(trainer.params["depth"])[0])
     assert not np.allclose(depths[0], depths[1])
+
+
+@pytest.mark.slow
+def test_instance_parallel_checkpoint_roundtrip(tmp_path):
+    """--n-instances --save-ckpts writes per-image manifests that the
+    sequential CheckpointManager (and thus evaluate_results.py) loads."""
+    from gan2shape_tpu.core.checkpoint import CheckpointManager
+
+    n = 2
+    cfg = {**CFG, "compile_chunk": 2,
+           "our_nets_ckpts": {"VLADE_nets": str(tmp_path)}}
+    mesh = make_mesh(2)  # instance axis must divide the mesh
+    trainer = InstanceParallelTrainer(cfg, n_instances=n, mesh=mesh,
+                                      save_ckpts=True)
+    rng = np.random.default_rng(2)
+    images = rng.uniform(-1, 1, (n, 3, 64, 64)).astype(np.float32)
+    latents = rng.standard_normal((n, 512)).astype(np.float32)
+
+    # 3 iterations with chunk 2 -> chunked (2, 1) execution path
+    history = trainer.fit(images, latents,
+                          stages=[{"step1": 3, "step2": 1, "step3": 1}],
+                          data_indices=[5, 9])
+    assert len(history[0]["losses_step1"]) == 3
+
+    ckpt = CheckpointManager(str(tmp_path))
+    for j, idx in enumerate([5, 9]):
+        ms = ckpt.select("face", img_idx=idx)
+        assert len(ms) == 1
+        template = jax.tree.map(lambda x: np.asarray(x[j]), trainer.params)
+        loaded = ckpt.load_manifest(ms[-1], template)
+        for net in ("depth", "albedo"):
+            a = jax.tree_util.tree_leaves(loaded[net])
+            b = jax.tree_util.tree_leaves(template[net])
+            assert all(np.allclose(x, y) for x, y in zip(a, b))

@@ -63,22 +63,29 @@ def main():
 
     # instance-parallel path: same frozen nets, same initial params
     # (injected), same key — through shard_map(vmap) on the 1-device mesh
+    # with TWO instances per device, so the vmap-over-Pallas branch of
+    # sharded() (n_per_dev > 1) runs the grid rasterizer on hardware
+    # (VERDICT r3 weak item 5); instance 1 duplicates instance 0's inputs,
+    # params, and key, so it must track the sequential run identically
+    n_inst = 2
     mesh = make_mesh(1)
-    par = InstanceParallelTrainer(config, n_instances=1, mesh=mesh,
+    par = InstanceParallelTrainer(config, n_instances=n_inst, mesh=mesh,
                                   frozen=seq.frozen, model=seq.model)
     seq0 = Trainer(config, seed=0, frozen=seq.frozen)  # fresh initial params
     par.params = jax.device_put(
-        jax.tree.map(lambda x: x[None], seq0.params), par._inst)
+        jax.tree.map(lambda x: jnp.stack([x] * n_inst), seq0.params),
+        par._inst)
     par.opt_states = par.init_opt_states()
     st1, st2, st3 = par.opt_states
 
-    images = image  # (1, 3, H, W): N == batch here
-    latents = latent
+    images = jnp.concatenate([image] * n_inst)  # (N, 3, H, W)
+    latents = jnp.concatenate([latent] * n_inst)
+    keys = jnp.stack([key] * n_inst)
     par.params, st1, coll_p, l1_par = par._run_stage1(
         par.frozen, par.params, st1, images, n1=n1)
     par.params, st2, coll2_p, l2_par = par._run_stage2(
         par.frozen, par.params, st2, images, latents, coll_p,
-        key[None], n2=n2)
+        keys, n2=n2)
     par.params, st3, l3_par = par._run_stage3(
         par.frozen, par.params, st3, images, latents, coll2_p, n3=n3)
 
@@ -86,12 +93,20 @@ def main():
         a, b = float(a), float(b)
         return abs(a - b) / max(abs(b), 1e-9)
 
+    # stage runners return the full (N, n_iters) loss curves
     finals = {
-        "step1": (float(l1_par[0]), float(l1_seq[-1])),
-        "step2": (float(l2_par[0]), float(l2_seq[-1])),
-        "step3": (float(l3_par[0]), float(l3_seq[-1])),
+        "step1": (float(l1_par[0, -1]), float(l1_seq[-1])),
+        "step2": (float(l2_par[0, -1]), float(l2_seq[-1])),
+        "step3": (float(l3_par[0, -1]), float(l3_seq[-1])),
     }
     rels = {k: rel(a, b) for k, (a, b) in finals.items()}
+
+    # the duplicated instance must agree with instance 0 bit-for-bit (same
+    # inputs, same params, same key, same program)
+    twin_mad = max(
+        float(jnp.abs(a - b).max()) for a, b in (
+            (l1_par[0], l1_par[1]), (l2_par[0], l2_par[1]),
+            (l3_par[0], l3_par[1])))
 
     # final parameter agreement (max abs diff across every trained leaf)
     leaves_par = jax.tree_util.tree_leaves(
@@ -103,8 +118,10 @@ def main():
     finite = all(np.isfinite(v) for pair in finals.values() for v in pair)
     # bf16 'default' matmul policy + different program partitioning makes
     # bit-exactness impossible; the bound is the PRECISION_CHECK-style
-    # trajectory envelope
-    ok = finite and all(r < 5e-2 for r in rels.values()) and param_mad < 5e-2
+    # trajectory envelope.  The twin instances share one program, so they
+    # must agree exactly.
+    ok = (finite and all(r < 5e-2 for r in rels.values())
+          and param_mad < 5e-2 and twin_mad == 0.0)
 
     result = {
         "ok": bool(ok),
@@ -112,11 +129,13 @@ def main():
         "raster_mode": "grid (Pallas mega-kernel)" if platform == "tpu"
         else "grid (XLA fallback — no TPU attached)",
         "mesh_devices": int(mesh.devices.size),
+        "instances_per_device": n_inst,
         "iters": {"step1": n1, "step2": n2, "step3": n3},
         "final_losses_parallel_vs_sequential": {
             k: [round(a, 6), round(b, 6)] for k, (a, b) in finals.items()},
         "final_loss_rel_diff": {k: round(v, 6) for k, v in rels.items()},
         "trained_param_max_abs_diff": round(param_mad, 6),
+        "twin_instance_max_abs_diff": twin_mad,
     }
     with open(os.path.join(_ROOT, "SHARD_CHECK.json"), "w") as f:
         json.dump(result, f, indent=1)
