@@ -202,18 +202,54 @@ def convert_vgg16(sd, prefix="features"):
     return p
 
 
-def convert_lpips_heads(sd):
-    """lpips v0.1 vgg.pth linear heads (keys lin{k}.model.1.weight)."""
+def convert_alexnet(sd, prefix="features"):
+    """torchvision AlexNet `features.*` conv weights -> AlexFeatures params
+    (reference lpips/pretrained_networks.py:59-94 slices)."""
+    pre = f"{prefix}." if prefix else ""
     p = {}
-    for k in range(5):
+    for i, idx in enumerate((0, 3, 6, 8, 10)):
+        p[f"conv{i}"] = {"weight": _np(sd[f"{pre}{idx}.weight"]),
+                         "bias": _np(sd[f"{pre}{idx}.bias"])}
+    return p
+
+
+def convert_squeezenet(sd, prefix="features"):
+    """torchvision SqueezeNet 1.1 `features.*` weights -> SqueezeFeatures
+    params (reference lpips/pretrained_networks.py:6-57 slices)."""
+    pre = f"{prefix}." if prefix else ""
+    p = {"conv0": {"weight": _np(sd[f"{pre}0.weight"]),
+                   "bias": _np(sd[f"{pre}0.bias"])}}
+    # torchvision fire-module feature indices -> our fire2..fire9 naming
+    for fire_i, idx in enumerate((3, 4, 6, 7, 9, 10, 11, 12), start=2):
+        for ours, theirs in (("squeeze", "squeeze"),
+                             ("expand1", "expand1x1"),
+                             ("expand3", "expand3x3")):
+            p[f"fire{fire_i}_{ours}"] = {
+                "weight": _np(sd[f"{pre}{idx}.{theirs}.weight"]),
+                "bias": _np(sd[f"{pre}{idx}.{theirs}.bias"])}
+    return p
+
+
+def convert_lpips_heads(sd, n_heads=5):
+    """lpips v0.1 {vgg,alex,squeeze}.pth linear heads
+    (keys lin{k}.model.1.weight; squeeze has 7)."""
+    p = {}
+    for k in range(n_heads):
         w = _np(sd[f"lin{k}.model.1.weight"])
         p[f"lin{k}"] = {"weight": w}
     return p
 
 
-def convert_lpips(vgg_sd, heads_sd):
-    p = {"vgg": convert_vgg16(vgg_sd)}
-    p.update(convert_lpips_heads(heads_sd))
+_BACKBONE_CONVERTERS = {"vgg": convert_vgg16, "alex": convert_alexnet,
+                        "squeeze": convert_squeezenet}
+
+
+def convert_lpips(backbone_sd, heads_sd, backbone="vgg"):
+    """LPIPS params from a torchvision backbone state dict + the lpips v0.1
+    linear-head state dict (reference dist_model.py:63-75 loading)."""
+    from gan2shape_tpu.models.lpips import BACKBONE_CHNS
+    p = {backbone: _BACKBONE_CONVERTERS[backbone](backbone_sd)}
+    p.update(convert_lpips_heads(heads_sd, len(BACKBONE_CHNS[backbone])))
     return {"params": p}
 
 

@@ -134,11 +134,21 @@ def avg_pool2d(x, kernel, stride=None):
     return out / (kernel * kernel)
 
 
-def max_pool2d(x, kernel, stride=None, padding=0):
+def max_pool2d(x, kernel, stride=None, padding=0, ceil_mode=False):
     stride = stride or kernel
+
+    def extra(n):
+        # torch ceil_mode: extend with -inf so the last partial window counts
+        if not ceil_mode:
+            return 0
+        span = n + 2 * padding - kernel
+        return (-span) % stride
+
+    h, w = x.shape[-2:]
     return lax.reduce_window(
         x, -jnp.inf, lax.max, (1, 1, kernel, kernel), (1, 1, stride, stride),
-        ((0, 0), (0, 0), (padding, padding), (padding, padding)))
+        ((0, 0), (0, 0), (padding, padding + extra(h)),
+         (padding, padding + extra(w))))
 
 
 def adaptive_avg_pool2d(x, out_size):
