@@ -42,6 +42,7 @@ def test_step1_split_equals_forward(setup):
                                np.asarray(coll_full[4]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_step1_split_gradients_match(setup):
     model, params, frozen, image, _ = setup
 
@@ -56,6 +57,7 @@ def test_step1_split_gradients_match(setup):
                                    atol=1e-6, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_step2_invariants_equal_inline(setup):
     model, params, frozen, image, latent = setup
     _, coll = model.forward_step1(params, frozen, image)

@@ -82,6 +82,7 @@ def test_step2_loss_and_collected(setup):
     assert set(np.unique(np.asarray(mask))) <= {0.0, 1.0}
 
 
+@pytest.mark.slow
 def test_step2_gradients_only_offset_encoder(setup):
     model, params, frozen, image, latent = setup
     _, collected = model.forward_step1(params, frozen, image)
@@ -99,6 +100,7 @@ def test_step2_gradients_only_offset_encoder(setup):
         assert all(np.abs(np.asarray(l)).max() == 0 for l in leaves), net
 
 
+@pytest.mark.slow
 def test_step3_loss_and_gradients(setup):
     model, params, frozen, image, latent = setup
     _, collected = model.forward_step1(params, frozen, image)

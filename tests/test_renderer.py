@@ -124,6 +124,7 @@ def test_rasterize_uncovered_gets_far():
     np.testing.assert_allclose(d, 1.5)
 
 
+@pytest.mark.slow
 def test_warp_canon_depth_grad_flows():
     r = make_renderer(16)
     view = jnp.asarray([[0.05, -0.08, 0.02, 0.01, -0.01, 0.02]], jnp.float32)

@@ -196,6 +196,7 @@ def test_mean_latent(rng):
     assert np.isfinite(np.asarray(m)).all()
 
 
+@pytest.mark.slow
 def test_bf16_activation_policy(rng):
     """The frozen-stack activation-dtype policy (utils/precision.act_dtype):
     under 'bfloat16' the generator synthesis and discriminator run their

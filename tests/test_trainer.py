@@ -82,6 +82,7 @@ def test_trainer_fit_one_stage(tmp_path):
     assert recon_im.shape == (1, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_prior_pretraining_reduces_loss():
     cfg = dict(CFG)
     cfg["n_epochs_prior"] = 40
@@ -128,6 +129,7 @@ def test_chunk_sizes_decomposition():
     assert lengths == {100}
 
 
+@pytest.mark.slow
 def test_chunked_prior_matches_unchunked():
     """Chunked scans thread the same (params, opt_state) carry: a [3,3,1]
     decomposition is mathematically the same program as one 7-iteration
@@ -150,6 +152,7 @@ def test_chunked_prior_matches_unchunked():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_generalizing_prior_zero_epochs_no_crash():
     """n_epochs_prior=0 previously hit an unbound `losses` NameError; with
     zero-iteration step guards the step1-only fit returns nan for the
@@ -167,6 +170,7 @@ def test_generalizing_prior_zero_epochs_no_crash():
     assert len(history[0]["losses_step1"]) == 2
 
 
+@pytest.mark.slow
 def test_generalizing_data_parallel_sharding():
     """The generalizing mode's batched phases shard the image batch over the
     mesh with replicated params (VERDICT r2 item 5): check placement and a
@@ -201,6 +205,7 @@ def test_generalizing_data_parallel_sharding():
         assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_fit_shuffle_permutes_order():
     cfg = dict(CFG)
     cfg["n_epochs_prior"] = 1
