@@ -273,17 +273,69 @@ def _winner_pass_invwarp(xs, ys, zs, h, w, search=1, fp_iters=8):
     return best_id
 
 
+def _inv_z_quant(near, far):
+    """Fixed-point parameters for per-vertex 1/z payloads: 1/z is LINEAR
+    over a screen-space triangle, so quantizing r = 1/z per vertex lets the
+    winner pass recover the per-pixel depth with one interpolation and one
+    reciprocal — no per-vertex divides.  15-bit over [1/far, 1/near]
+    (z error ~1e-5, under half the 14-bit winner-key step)."""
+    r_lo = 1.0 / far
+    r_step = (1.0 / near - 1.0 / far) / 32767.0
+    return r_lo, r_step
+
+
+def _cand_key_int(dx0, dy0, dx1, dy1, dx2, dy2, r0q, r1q, r2q, cell,
+                  ox, oy, parity, n_faces, near, far):
+    """Candidate test shared by every grid winner implementation: exact
+    barycentric inside test in the slot-relative 1/256-px fixed point, then
+    the SAME packed ranking key as the exact 'scatter' z-buffer
+    (`_winner_pass`): (quantized per-pixel depth << FACE_BITS) | face id,
+    min-reduced — so the nearest face wins and equal quantized depths break
+    ties on the LOWEST face id in both modes (nr z-buffer semantics,
+    /root/reference/GAN2Shape/renderer/renderer.py:120).  Inputs are f32
+    planes; returns an int32 key plane, _SENTINEL where not covered."""
+    px2 = 256.0 * ox - dx2
+    py2 = 256.0 * oy - dy2
+    denom = (dy1 - dy2) * (dx0 - dx2) + (dx2 - dx1) * (dy0 - dy2)
+    safe = jnp.where(jnp.abs(denom) > 0.5, denom, 1.0)
+    l0 = ((dy1 - dy2) * px2 + (dx2 - dx1) * py2) / safe
+    l1 = ((dy2 - dy0) * px2 + (dx0 - dx2) * py2) / safe
+    l2 = 1.0 - l0 - l1
+    eps = -1e-5
+    inside = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
+              & (jnp.abs(denom) > 0.5) & (cell >= 0))
+    r_lo, r_step = _inv_z_quant(near, far)
+    inv_z = (l0 * (r_lo + r0q * r_step) + l1 * (r_lo + r1q * r_step)
+             + l2 * (r_lo + r2q * r_step))
+    z = 1.0 / jnp.maximum(inv_z, 1e-12)
+    depth_scale = (2 ** DEPTH_BITS - 1) / (far - near)
+    zq = jnp.clip((z - near) * depth_scale, 0, 2 ** DEPTH_BITS - 1)
+    key = ((zq.astype(jnp.int32) << FACE_BITS)
+           | (cell.astype(jnp.int32) + parity * n_faces))
+    return jnp.where(inside, key, _SENTINEL)
+
+
+def _decode_key(key, n_faces):
+    """Winner key -> (cell f32, parity f32, covered bool) planes."""
+    covered = key != _SENTINEL
+    fid = key & (2 ** FACE_BITS - 1)
+    par = (fid >= n_faces) & covered
+    cell = jnp.where(covered, fid - jnp.where(par, n_faces, 0), -1)
+    return (cell.astype(jnp.float32), par.astype(jnp.float32), covered)
+
+
 def _build_winner_buffers(vx, vy, vz, h, w, window, near, far):
     """Scatter each face's compact payload to its half-pixel-resolution
     screen bbox-start slot.
 
-    Payload = 8 int16 channels: 6 vertex coordinates in 1/256-px fixed point
-    RELATIVE to the slot's integer pixel (range +-127 px), a quantized mean
-    depth (winner ordering only — the exact depth is re-interpolated
-    differentiably afterwards), and the face's cell id (-1 marks empty).
-    Relative coordinates make every barycentric term translation-invariant,
-    and int16 keeps the buffer (the dominant HBM traffic of the rasterizer)
-    2.75x smaller than raw f32 payloads.
+    Payload = 10 int16 channels: 6 vertex coordinates in 1/256-px fixed
+    point RELATIVE to the slot's integer pixel (range +-127 px), the three
+    vertices' quantized 1/z (winner ranking reconstructs the per-pixel depth
+    from these — the exact depth is still re-interpolated differentiably
+    afterwards), and the face's cell id (-1 marks empty).  Relative
+    coordinates make every barycentric term translation-invariant, and
+    int16 keeps the buffer (the dominant HBM traffic of the rasterizer)
+    compact vs raw f32 payloads.
 
     Half-pixel slots: integer-resolution starts collide from f32 jitter at
     integer boundaries and mild compression; at half resolution a same-parity
@@ -293,7 +345,7 @@ def _build_winner_buffers(vx, vy, vz, h, w, window, near, far):
     clamping them onto shared edge slots creates massive duplicate scatter
     indices, which hits a serialized XLA scatter path (0.1 ms -> 100+ ms).
 
-    Returns two (B, 2, 2, 8, HP, WP_pad) int16 buffers (y-phase, x-phase,
+    Returns two (B, 2, 2, 10, HP, WP_pad) int16 buffers (y-phase, x-phase,
     channel, padded row/col; WP_pad is a 128 multiple for Mosaic DMA)."""
     b = vx.shape[0]
     pad = window + 1
@@ -335,86 +387,84 @@ def _build_winner_buffers(vx, vy, vz, h, w, window, near, far):
             q = jnp.clip(jnp.round((v - anchor) * 256.0), -32767, 32767)
             return q.astype(jnp.int16)
 
-        zmean = (z0 + z1 + z2) * (1.0 / 3.0)
-        zq = jnp.clip(jnp.round((zmean - near) / max(far - near, 1e-6)
-                                * 32000.0), 0, 32767).astype(jnp.int16)
+        r_lo, r_step = _inv_z_quant(float(near), float(far))
+
+        def rq16(z):
+            q = jnp.round((1.0 / jnp.maximum(z, 1e-6) - r_lo) / r_step)
+            return jnp.clip(q, 0, 32767).astype(jnp.int16)
+
         channels = (fx16(x0, ax), fx16(y0, ay), fx16(x1, ax), fx16(y1, ay),
-                    fx16(x2, ax), fx16(y2, ay), zq,
+                    fx16(x2, ax), fx16(y2, ay), rq16(z0), rq16(z1), rq16(z2),
                     jnp.where(inb, cell_id, -1).astype(jnp.int16))
+        n_ch = len(channels)
 
         plane = hp * wp_s
-        start = (((sy * 2 + sx) * 8) * plane + qy * wp_s + qx).reshape(b, -1)
-        base = 4 * 8 * plane
+        start = (((sy * 2 + sx) * n_ch) * plane
+                 + qy * wp_s + qx).reshape(b, -1)
+        base = 4 * n_ch * plane
         dump = base + jnp.arange(n_faces, dtype=jnp.int32)[None]
         start = jnp.where(inb.reshape(b, -1), start, dump)
 
-        # one fused scatter of all 8 channels (separate scatters each copy
+        # nearest-wins collision resolution (sub-half-pixel folds): a
+        # scatter-min of packed (32767 - r0q | cell) per slot — same merge
+        # rule as the mega kernels' Stage-1/2 — then only the winning
+        # face's payload enters the full scatter (an arbitrary-survivor
+        # .set() picks the WRONG sheet on ~1% of fold pixels, the dominant
+        # covered-depth mismatch vs the exact z-buffer)
+        zkey = (((32767 - channels[6].astype(jnp.int32)) << 16)
+                | cell_id).reshape(b, -1)
+        kbuf = jnp.full((b, base + n_faces), _SENTINEL, jnp.int32)
+        kbuf = kbuf.at[jnp.arange(b)[:, None], start].min(zkey)
+        won = jnp.take_along_axis(kbuf, start, axis=1) == zkey
+        start = jnp.where(won, start, dump)
+
+        # one fused scatter of all channels (separate scatters each copy
         # the whole buffer)
-        ch_off = (jnp.arange(8, dtype=jnp.int32) * plane)[None, None, :]
+        ch_off = (jnp.arange(n_ch, dtype=jnp.int32) * plane)[None, None, :]
         idx = (start[:, :, None] + ch_off).reshape(b, -1)
         vals = jnp.stack([c.reshape(b, -1) for c in channels],
                          -1).reshape(b, -1)
         buf = jnp.full((b, base + n_faces), -1, jnp.int16)
         buf = buf.at[jnp.arange(b)[:, None], idx].set(vals)
-        bufs.append(buf[:, :base].reshape(b, 2, 2, 8, hp, wp_s))
+        bufs.append(buf[:, :base].reshape(b, 2, 2, n_ch, hp, wp_s))
     return bufs[0], bufs[1]
 
 
-def _winner_tests(buf_at, h, w, window, state):
+def _winner_tests(buf_at, window, best_key, parity, n_faces, near, far):
     """Run all window^2 x 4-phase candidate tests for one parity buffer.
-    `buf_at(sy, sx, ch, oy, ox)` -> (..., h, w) int16 channel slice; `state`
-    = (best_zq, best_cell, best_par, parity).  All arithmetic happens in the
-    slot-relative 1/256-px fixed point of the payload."""
-    best_zq, best_cell, best_par, parity = state
+    `buf_at(sy, sx, ch, oy, ox)` -> (..., h, w) int16 channel slice;
+    min-merges `_cand_key_int` packed keys into `best_key` (int32)."""
     for oy in range(window):
         for sy in range(2):
             for ox in range(window):
                 for sx in range(2):
                     c = [buf_at(sy, sx, ch, oy, ox).astype(jnp.float32)
-                         for ch in range(8)]
-                    dx0, dy0, dx1, dy1, dx2, dy2, zq, cell = c
-                    # p - v2 in 1/256 units: 256*o - dv2
-                    px2 = 256.0 * ox - dx2
-                    py2 = 256.0 * oy - dy2
-                    e10x = dx1 - dx0
-                    e20x = dx2 - dx0
-                    denom = (dy1 - dy2) * (dx0 - dx2) \
-                        + (dx2 - dx1) * (dy0 - dy2)
-                    safe = jnp.where(jnp.abs(denom) > 0.5, denom, 1.0)
-                    l0 = ((dy1 - dy2) * px2 + (dx2 - dx1) * py2) / safe
-                    l1 = ((dy2 - dy0) * px2 + (dx0 - dx2) * py2) / safe
-                    l2 = 1.0 - l0 - l1
-                    eps = -1e-5
-                    inside = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
-                              & (jnp.abs(denom) > 0.5) & (cell >= 0))
-                    better = inside & (zq < best_zq)
-                    best_zq = jnp.where(better, zq, best_zq)
-                    best_cell = jnp.where(better, cell, best_cell)
-                    best_par = jnp.where(better, parity, best_par)
-    return best_zq, best_cell, best_par, parity
+                         for ch in range(10)]
+                    key = _cand_key_int(*c, ox, oy, parity, n_faces,
+                                        near, far)
+                    best_key = jnp.minimum(best_key, key)
+    return best_key
 
 
-@partial(jax.jit, static_argnames=("h", "w", "window"))
-def _dense_winner_xla(buf0, buf1, h, w, window):
+@partial(jax.jit, static_argnames=("h", "w", "window", "near", "far"))
+def _dense_winner_xla(buf0, buf1, h, w, window, near, far):
     """XLA fallback winner pass over the payload buffers (CPU path).
     Returns (cell f32, parity f32, covered bool) per pixel."""
     b = buf0.shape[0]
     pad = window + 1
+    n_faces = (h - 1) * (w - 1)
 
-    state = (jnp.full((b, h, w), 1e9, jnp.float32),
-             jnp.full((b, h, w), -1.0, jnp.float32),
-             jnp.zeros((b, h, w), jnp.float32), 0.0)
+    best_key = jnp.full((b, h, w), _SENTINEL, jnp.int32)
     for parity, buf in enumerate((buf0, buf1)):
         def buf_at(sy, sx, ch, oy, ox, buf=buf):
             return buf[:, sy, sx, ch, pad - oy:pad - oy + h,
                        pad - ox:pad - ox + w]
-        state = _winner_tests(buf_at, h, w, window,
-                              state[:3] + (float(parity),))
-    best_zq, best_cell, best_par, _ = state
-    return best_cell, best_par, best_cell >= 0
+        best_key = _winner_tests(buf_at, window, best_key, parity,
+                                 n_faces, float(near), float(far))
+    return _decode_key(best_key, n_faces)
 
 
-def _dense_winner_pallas(buf0, buf1, h, w, window, band=32):
+def _dense_winner_pallas(buf0, buf1, h, w, window, near, far, band=32):
     """Pallas winner kernel: the payload slab for a row band is DMA'd into
     VMEM scratch (manual copy — bands need halo overlap that BlockSpec
     tiling cannot express) and every candidate test runs from there — one
@@ -426,6 +476,7 @@ def _dense_winner_pallas(buf0, buf1, h, w, window, band=32):
     b = buf0.shape[0]
     pad = window + 1
     hp, wp = buf0.shape[-2], buf0.shape[-1]
+    n_faces = (h - 1) * (w - 1)
     band = min(band, h)
     assert h % band == 0 and band % 16 == 0
     n_bands = h // band
@@ -434,7 +485,7 @@ def _dense_winner_pallas(buf0, buf1, h, w, window, band=32):
     rows = band + 16
     assert pad <= 16
 
-    def kernel(b0_hbm, b1_hbm, cell_ref, par_ref, s0, s1, sems):
+    def kernel(b0_hbm, b1_hbm, key_ref, s0, s1, sems):
         bi = pl.program_id(0)
         bandi = pl.program_id(1)
         row0 = bandi * band
@@ -447,38 +498,83 @@ def _dense_winner_pallas(buf0, buf1, h, w, window, band=32):
         c0.wait()
         c1.wait()
 
-        state = (jnp.full((band, w), 1e9, jnp.float32),
-                 jnp.full((band, w), -1.0, jnp.float32),
-                 jnp.zeros((band, w), jnp.float32), 0.0)
+        best_key = jnp.full((band, w), _SENTINEL, jnp.int32)
         for parity, ref in enumerate((s0, s1)):
             def buf_at(sy, sx, ch, oy, ox, ref=ref):
                 # buffer row (y + pad - oy) sits at local row
                 # y_local + pad - oy (DMA started at the band row itself)
                 return ref[sy, sx, ch, pad - oy:pad - oy + band,
                            pad - ox:pad - ox + w]
-            state = _winner_tests(buf_at, band, w, window,
-                                  state[:3] + (float(parity),))
-        best_zq, best_cell, best_par, _ = state
-        cell_ref[0] = best_cell.astype(jnp.int32)
-        par_ref[0] = best_par.astype(jnp.int32)
+            best_key = _winner_tests(buf_at, window, best_key, parity,
+                                     n_faces, float(near), float(far))
+        key_ref[0] = best_key
 
     spec_in = pl.BlockSpec(memory_space=pltpu.ANY)
     spec_out = pl.BlockSpec((1, band, w), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    cell, par = pl.pallas_call(
+    key = pl.pallas_call(
         kernel,
         grid=(b, n_bands),
         in_specs=[spec_in, spec_in],
-        out_specs=(spec_out, spec_out),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 8, rows, wp), jnp.int16),
-            pltpu.VMEM((2, 2, 8, rows, wp), jnp.int16),
+            pltpu.VMEM((2, 2, 10, rows, wp), jnp.int16),
+            pltpu.VMEM((2, 2, 10, rows, wp), jnp.int16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(buf0, buf1)
-    return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
+    return _decode_key(key, n_faces)
+
+
+def _lo16f(v):
+    """Low int16 half of a packed int32 plane, sign-extended, as f32."""
+    return jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(v, 16), 16).astype(jnp.float32)
+
+
+def _hi16f(v):
+    """High int16 half of a packed int32 plane as f32."""
+    return jax.lax.shift_right_arithmetic(v, 16).astype(jnp.float32)
+
+
+def _mega_phase_c(sl, window, n_faces, near, far, h, w):
+    """Candidate tests over a packed 5-plane slot buffer (shared by both
+    mega kernels).  `sl(par, sy, sx, p, oy, ox)` -> (h, w) int32 plane
+    slice (`oy` may be a traced scalar — callers slice rows with pl.ds).
+    Plane layout: p0..p2 = packed (dy|dx) fixed-point relative vertex
+    coords, p3 = (32767 - r0q | cell), p4 = (r2q | r1q).  Yields
+    (row0, band winner-key plane) pairs covering the output rows.
+
+    Output rows are processed in BANDS, like the buffer-slab winner
+    kernel: a full 8*window^2-test unroll over (h, w) planes at window=5
+    holds ~26 MB of live temporaries (Mosaic scoped-VMEM OOM at 16 MB);
+    banding divides the temporary footprint by h/band while keeping every
+    slice static (Mosaic cannot prove alignment of dynamic sublane
+    offsets, so a fori_loop over the row offset is not an option)."""
+    band = 32
+    for r0 in range(0, h, band):
+        bh = min(band, h - r0)
+        best_key = jnp.full((bh, w), _SENTINEL, jnp.int32)
+        for par in range(2):
+            for oy in range(window):
+                for sy in range(2):
+                    for ox in range(window):
+                        for sx in range(2):
+                            p0 = sl(par, sy, sx, 0, oy, ox, r0, bh)
+                            p1 = sl(par, sy, sx, 1, oy, ox, r0, bh)
+                            p2 = sl(par, sy, sx, 2, oy, ox, r0, bh)
+                            p3 = sl(par, sy, sx, 3, oy, ox, r0, bh)
+                            p4 = sl(par, sy, sx, 4, oy, ox, r0, bh)
+                            key = _cand_key_int(
+                                _lo16f(p0), _hi16f(p0),
+                                _lo16f(p1), _hi16f(p1),
+                                _lo16f(p2), _hi16f(p2),
+                                32767.0 - _hi16f(p3), _lo16f(p4),
+                                _hi16f(p4), _lo16f(p3),
+                                ox, oy, par, n_faces, near, far)
+                            best_key = jnp.minimum(best_key, key)
+        yield r0, best_key
 
 
 def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
@@ -509,9 +605,10 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
     hp, wp = h + 2 * pad, w + 2 * pad
     wp_s = -(-wp // 128) * 128
     n_fr = h - 1
-    zscale = 32000.0 / max(far - near, 1e-6)
+    n_faces = (h - 1) * (w - 1)
+    r_lo, r_step = _inv_z_quant(float(near), float(far))
 
-    def kernel(vx_ref, vy_ref, vz_ref, cell_ref, par_ref, slotbuf, paya,
+    def kernel(vx_ref, vy_ref, vz_ref, key_ref, slotbuf, paya,
                smem_row, sem):
         fx = vx_ref[0]
         fy = vy_ref[0]
@@ -565,19 +662,23 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
                              32767.0)
                 return q.astype(jnp.int32)
 
+            def rq16(z):
+                q = jnp.round((1.0 / jnp.maximum(z, 1e-6) - r_lo) / r_step)
+                return jnp.clip(q, 0.0, 32767.0).astype(jnp.int32)
+
             def pack(hi, lo):
                 return (hi << 16) | (lo & 0xFFFF)
 
-            zmean = (z0 + z1 + z2) * (1.0 / 3.0)
-            zq = jnp.clip(jnp.round((zmean - near) * zscale), 0.0,
-                          32767.0).astype(jnp.int32)
             cell = row_i * (w - 1) + lane_j
             paya[0] = pack(fx16(y0, ay), fx16(x0, ax))
             paya[1] = pack(fx16(y1, ay), fx16(x1, ax))
             paya[2] = pack(fx16(y2, ay), fx16(x2, ax))
-            paya[3] = pack(zq, cell)
+            # p3 high half 32767 - r0q: ascending in z0 so min-merges keep
+            # the nearest face; Phase C recovers r0q by re-inverting
+            paya[3] = pack(32767 - rq16(z0), cell)
+            paya[4] = pack(rq16(z2), rq16(z1))
             slot = qy | (qx << 9) | (sy << 18) | (sx << 19)
-            paya[4] = jnp.where(inb, slot, -1)
+            paya[5] = jnp.where(inb, slot, -1)
 
             # ---- Phase B: serial placement ----
             # Mosaic has no scalar VMEM access: stage each face row in SMEM
@@ -592,7 +693,7 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
                 cp.wait()
 
                 def col_body(j, _):
-                    s = smem_row[4, 0, j]
+                    s = smem_row[5, 0, j]
 
                     @pl.when(s >= 0)
                     def _():
@@ -601,7 +702,7 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
                         sy_s = (s >> 18) & 1
                         sx_s = (s >> 19) & 1
                         hit = lane_ids == qx_s
-                        for p in range(4):
+                        for p in range(5):
                             cur = slotbuf[par, sy_s, sx_s, p,
                                           pl.ds(qy_s, 1), :]
                             val = jnp.full((1, wp_s), smem_row[p, 0, j],
@@ -617,77 +718,33 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
             jax.lax.fori_loop(0, n_fr, row_body, 0)
 
         # ---- Phase C: candidate tests ----
-        def lo16(v):
-            return jax.lax.shift_right_arithmetic(
-                jax.lax.shift_left(v, 16), 16).astype(jnp.float32)
-
-        def hi16(v):
-            return jax.lax.shift_right_arithmetic(v, 16).astype(jnp.float32)
-
-        best_zq = jnp.full((h, w), 1e9, jnp.float32)
-        best_cell = jnp.full((h, w), -1.0, jnp.float32)
-        best_par = jnp.zeros((h, w), jnp.float32)
-        for par in range(2):
-            for oy in range(window):
-                for sy in range(2):
-                    for ox in range(window):
-                        for sx in range(2):
-                            def sl(p):
-                                return slotbuf[par, sy, sx, p,
-                                               pad - oy:pad - oy + h,
-                                               pad - ox:pad - ox + w]
-                            p0, p1, p2, p3 = sl(0), sl(1), sl(2), sl(3)
-                            dx0, dy0 = lo16(p0), hi16(p0)
-                            dx1, dy1 = lo16(p1), hi16(p1)
-                            dx2, dy2 = lo16(p2), hi16(p2)
-                            cellv = jax.lax.shift_right_arithmetic(
-                                jax.lax.shift_left(p3, 16), 16
-                            ).astype(jnp.float32)
-                            zqv = hi16(p3)
-                            px2 = 256.0 * ox - dx2
-                            py2 = 256.0 * oy - dy2
-                            denom = (dy1 - dy2) * (dx0 - dx2) \
-                                + (dx2 - dx1) * (dy0 - dy2)
-                            safe = jnp.where(jnp.abs(denom) > 0.5, denom,
-                                             1.0)
-                            l0 = ((dy1 - dy2) * px2
-                                  + (dx2 - dx1) * py2) / safe
-                            l1 = ((dy2 - dy0) * px2
-                                  + (dx0 - dx2) * py2) / safe
-                            l2 = 1.0 - l0 - l1
-                            eps = -1e-5
-                            inside = ((l0 >= eps) & (l1 >= eps)
-                                      & (l2 >= eps)
-                                      & (jnp.abs(denom) > 0.5)
-                                      & (cellv >= 0))
-                            better = inside & (zqv < best_zq)
-                            best_zq = jnp.where(better, zqv, best_zq)
-                            best_cell = jnp.where(better, cellv, best_cell)
-                            best_par = jnp.where(better, float(par),
-                                                 best_par)
-        cell_ref[0] = best_cell.astype(jnp.int32)
-        par_ref[0] = best_par.astype(jnp.int32)
+        def sl(par, sy, sx, p, oy, ox, r0, bh):
+            return slotbuf[par, sy, sx, p,
+                           pad - oy + r0:pad - oy + r0 + bh,
+                           pad - ox:pad - ox + w]
+        for r0, bk in _mega_phase_c(sl, window, n_faces, float(near),
+                                    float(far), h, w):
+            key_ref[0, r0:r0 + bk.shape[0], :] = bk
 
     spec_v = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    cell, par = pl.pallas_call(
+    key = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[spec_v, spec_v, spec_v],
-        out_specs=(spec_out, spec_out),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 2, 4, hp, wp_s), jnp.int32),
-            pltpu.VMEM((5, n_fr, w), jnp.int32),
-            pltpu.SMEM((5, 1, w), jnp.int32),
+            pltpu.VMEM((2, 2, 2, 5, hp, wp_s), jnp.int32),
+            pltpu.VMEM((6, n_fr, w), jnp.int32),
+            pltpu.SMEM((6, 1, w), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(jax.lax.stop_gradient(vx), jax.lax.stop_gradient(vy),
       jax.lax.stop_gradient(vz))
-    return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
+    return _decode_key(key, n_faces)
 
 
 def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
@@ -727,7 +784,8 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
     hp, wp = h + 2 * pad, w + 2 * pad
     wp_s = -(-wp // 128) * 128
     n_fr = h - 1
-    zscale = 32000.0 / max(far - near, 1e-6)
+    n_faces = (h - 1) * (w - 1)
+    r_lo, r_step = _inv_z_quant(float(near), float(far))
     SENT = 0x7FFFFFFF  # python int: must not be captured as a traced const
     # |dy| row-displacement cap (static): faces moving further are dropped
     # (translation range 0.1 units ~ 73 px at 128^2 stays well inside)
@@ -736,7 +794,7 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
     # slice reads hp rows
     src_rows = 2 * DY_CAP + hp
 
-    def kernel(vx_ref, vy_ref, vz_ref, cell_ref, par_ref, slotbuf, src,
+    def kernel(vx_ref, vy_ref, vz_ref, key_ref, slotbuf, src,
                acc1):
         fx = vx_ref[0]
         fy = vy_ref[0]
@@ -793,12 +851,13 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
                              32767.0)
                 return q.astype(jnp.int32)
 
+            def rq16(z):
+                q = jnp.round((1.0 / jnp.maximum(z, 1e-6) - r_lo) / r_step)
+                return jnp.clip(q, 0.0, 32767.0).astype(jnp.int32)
+
             def pack(hi, lo):
                 return (hi << 16) | (lo & 0xFFFF)
 
-            zmean = (z0 + z1 + z2) * (1.0 / 3.0)
-            zq = jnp.clip(jnp.round((zmean - near) * zscale), 0.0,
-                          32767.0).astype(jnp.int32)
             cell = row_i * (w - 1) + lane_j
             dy_f = jnp.clip(qy - row_i, -DY_CAP, DY_CAP)
             dqx = qx - lane_j  # in [-(w-1), wp)
@@ -808,11 +867,14 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
             planes = (pack(fx16(y0, ay), fx16(x0, ax)),
                       pack(fx16(y1, ay), fx16(x1, ax)),
                       pack(fx16(y2, ay), fx16(x2, ax)),
-                      jnp.where(inb, pack(zq, cell), SENT),
+                      # merge key: (32767 - r0q) ascends with z0, so the
+                      # min-merge collision rule keeps the nearest face
+                      jnp.where(inb, pack(32767 - rq16(z0), cell), SENT),
+                      pack(rq16(z2), rq16(z1)),
                       jnp.where(inb, aux, -1))
             for p, plane in enumerate(planes):
                 src[p, DY_CAP:DY_CAP + n_fr, :] = plane
-                if p >= 3:  # only the mask/key planes need valid padding
+                if p in (3, 5):  # only the key/mask planes need padding
                     fill = SENT if p == 3 else -1
                     src[p, 0:DY_CAP, :] = jnp.full((DY_CAP, w), fill,
                                                    jnp.int32)
@@ -829,21 +891,21 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
             # ---- Stage 1: row placement (source row -> slot row) ----
             for syp in range(2):
                 acc1[syp, 3] = jnp.full((hp, wp_s), SENT, jnp.int32)
-                acc1[syp, 4] = jnp.full((hp, wp_s), -1, jnp.int32)
+                acc1[syp, 5] = jnp.full((hp, wp_s), -1, jnp.int32)
 
             def dy_body(dy, _):
                 start = DY_CAP - dy
-                sl = [src[p, pl.ds(start, hp), :] for p in range(5)]
-                auxs = sl[4]
+                sl = [src[p, pl.ds(start, hp), :] for p in range(6)]
+                auxs = sl[5]
                 qy_s = auxs & 0x1FF
                 sy_s = (auxs >> 9) & 1
                 m_row = (auxs >= 0) & (qy_s == tgt_row)
                 for syp in range(2):
                     m = m_row & (sy_s == syp)
-                    # min-merge on packed (zq | cell): better  =>  m holds
+                    # min-merge on packed (zkey | cell): better => m holds
                     cand3 = jnp.where(m, sl[3], SENT)
                     better = cand3 < acc1[syp, 3, :, 0:w]
-                    for p in range(5):
+                    for p in range(6):
                         acc1[syp, p, :, 0:w] = jnp.where(
                             better, sl[p], acc1[syp, p, :, 0:w])
                 return 0
@@ -857,8 +919,8 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
                 no_wrap = (src_j >= 0) & (src_j < w)
                 for syp in range(2):
                     rolled = [pltpu.roll(acc1[syp, p], shift, 1)
-                              for p in range(5)]
-                    auxr = rolled[4]
+                              for p in range(6)]
+                    auxr = rolled[5]
                     dqx_r = ((auxr >> 10) & 0x3FF) - 256
                     sx_r = (auxr >> 20) & 1
                     m_col = (auxr >= 0) & (dqx_r == dx) & no_wrap
@@ -866,7 +928,7 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
                         m = m_col & (sx_r == sxp)
                         cand3 = jnp.where(m, rolled[3], SENT)
                         better = cand3 < slotbuf[par, syp, sxp, 3]
-                        for p in range(4):
+                        for p in range(5):
                             slotbuf[par, syp, sxp, p] = jnp.where(
                                 better, rolled[p],
                                 slotbuf[par, syp, sxp, p])
@@ -875,76 +937,32 @@ def _raster_mega_pallas_v2(vx, vy, vz, h, w, window, near, far):
             jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, 0)
 
         # ---- Phase C: candidate tests (identical to the serial kernel) ----
-        def lo16(v):
-            return jax.lax.shift_right_arithmetic(
-                jax.lax.shift_left(v, 16), 16).astype(jnp.float32)
-
-        def hi16(v):
-            return jax.lax.shift_right_arithmetic(v, 16).astype(jnp.float32)
-
-        best_zq = jnp.full((h, w), 1e9, jnp.float32)
-        best_cell = jnp.full((h, w), -1.0, jnp.float32)
-        best_par = jnp.zeros((h, w), jnp.float32)
-        for par in range(2):
-            for oy in range(window):
-                for sy in range(2):
-                    for ox in range(window):
-                        for sx in range(2):
-                            def sl(p):
-                                return slotbuf[par, sy, sx, p,
-                                               pad - oy:pad - oy + h,
-                                               pad - ox:pad - ox + w]
-                            p0, p1, p2, p3 = sl(0), sl(1), sl(2), sl(3)
-                            dx0, dy0 = lo16(p0), hi16(p0)
-                            dx1, dy1 = lo16(p1), hi16(p1)
-                            dx2, dy2 = lo16(p2), hi16(p2)
-                            cellv = jax.lax.shift_right_arithmetic(
-                                jax.lax.shift_left(p3, 16), 16
-                            ).astype(jnp.float32)
-                            zqv = hi16(p3)
-                            px2 = 256.0 * ox - dx2
-                            py2 = 256.0 * oy - dy2
-                            denom = (dy1 - dy2) * (dx0 - dx2) \
-                                + (dx2 - dx1) * (dy0 - dy2)
-                            safe = jnp.where(jnp.abs(denom) > 0.5, denom,
-                                             1.0)
-                            l0 = ((dy1 - dy2) * px2
-                                  + (dx2 - dx1) * py2) / safe
-                            l1 = ((dy2 - dy0) * px2
-                                  + (dx0 - dx2) * py2) / safe
-                            l2 = 1.0 - l0 - l1
-                            eps = -1e-5
-                            inside = ((l0 >= eps) & (l1 >= eps)
-                                      & (l2 >= eps)
-                                      & (jnp.abs(denom) > 0.5)
-                                      & (cellv >= 0))
-                            better = inside & (zqv < best_zq)
-                            best_zq = jnp.where(better, zqv, best_zq)
-                            best_cell = jnp.where(better, cellv, best_cell)
-                            best_par = jnp.where(better, float(par),
-                                                 best_par)
-        cell_ref[0] = best_cell.astype(jnp.int32)
-        par_ref[0] = best_par.astype(jnp.int32)
+        def sl(par, sy, sx, p, oy, ox, r0, bh):
+            return slotbuf[par, sy, sx, p,
+                           pad - oy + r0:pad - oy + r0 + bh,
+                           pad - ox:pad - ox + w]
+        for r0, bk in _mega_phase_c(sl, window, n_faces, float(near),
+                                    float(far), h, w):
+            key_ref[0, r0:r0 + bk.shape[0], :] = bk
 
     spec_v = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    cell, par = pl.pallas_call(
+    key = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[spec_v, spec_v, spec_v],
-        out_specs=(spec_out, spec_out),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 2, 4, hp, wp_s), jnp.int32),
-            pltpu.VMEM((5, src_rows, w), jnp.int32),
-            pltpu.VMEM((2, 5, hp, wp_s), jnp.int32),
+            pltpu.VMEM((2, 2, 2, 5, hp, wp_s), jnp.int32),
+            pltpu.VMEM((6, src_rows, w), jnp.int32),
+            pltpu.VMEM((2, 6, hp, wp_s), jnp.int32),
         ],
     )(jax.lax.stop_gradient(vx), jax.lax.stop_gradient(vy),
       jax.lax.stop_gradient(vz))
-    return cell.astype(jnp.float32), par.astype(jnp.float32), cell >= 0
+    return _decode_key(key, n_faces)
 
 
 def _mega_pallas_ok(h, w, window):
@@ -957,18 +975,21 @@ def _mega_pallas_ok(h, w, window):
         # falls back to the buffer-slab winner kernel)
         return False
     pad = window + 1
+    hp = h + 2 * pad
     wp_s = -(-(w + 2 * pad) // 128) * 128
-    vmem = (2 * 2 * 2 * 4 * (h + 2 * pad) * wp_s * 4  # slot buffer
-            + 5 * (h - 1) * w * 4 + 5 * h * w * 4)
-    return vmem < 9 * 2 ** 20
+    vmem = (2 * 2 * 2 * 5 * hp * wp_s * 4      # slot buffer
+            + 6 * (2 * 96 + hp) * w * 4        # v2 padded source planes
+            + 2 * 6 * hp * wp_s * 4)           # v2 stage-1 accumulator
+    return vmem < 12 * 2 ** 20  # leave headroom of the ~16MB VMEM
 
 
 def _winner_pallas_ok(h, w, window):
     import jax
     if jax.devices()[0].platform != "tpu":
         return False
-    pad = window + 1
-    vmem_bytes = 2 * 4 * 11 * (h + 2 * pad) * (w + 2 * pad) * 4
+    rows = min(32, h) + 16
+    wp_s = -(-(w + 2 * (window + 1)) // 128) * 128
+    vmem_bytes = 2 * (2 * 2 * 10 * rows * wp_s) * 2  # two payload slabs
     return vmem_bytes < 10 * 2 ** 20  # leave headroom of the ~16MB VMEM
 
 
@@ -1006,10 +1027,11 @@ def rasterize_depth_grid(vx, vy, vz, h, w, window=3, near=0.3, far=1.3):
         buf0, buf1 = _build_winner_buffers(sg(vx), sg(vy), sg(vz), h, w,
                                            window, near, far)
         if _winner_pallas_ok(h, w, window):
-            cell, par, covered = _dense_winner_pallas(buf0, buf1, h, w,
-                                                      window)
+            cell, par, covered = _dense_winner_pallas(
+                buf0, buf1, h, w, window, float(near), float(far))
         else:
-            cell, par, covered = _dense_winner_xla(buf0, buf1, h, w, window)
+            cell, par, covered = _dense_winner_xla(
+                buf0, buf1, h, w, window, float(near), float(far))
     cell = sg(cell)
     par = sg(par)
     covered = sg(covered)
@@ -1071,11 +1093,13 @@ def rasterize_depth(xs, ys, zs, faces, h, w, window=5, near=0.3, far=1.3,
     """
     b = xs.shape[0]
     if mode == "grid" and xs.shape[1] == h * w:
-        # window 3 covers the training warps' triangle extents; the static
+        # window 5 matches the scatter z-buffer's candidate reach exactly
+        # (faces stretched wider — rim cells with steep slope under large
+        # rotations — lose the same pixels in both modes); the static
         # candidate-test unroll grows as 8*window^2
         return rasterize_depth_grid(
             xs.reshape(b, h, w), ys.reshape(b, h, w), zs.reshape(b, h, w),
-            h, w, window=min(window, 3), near=float(near), far=float(far))
+            h, w, window=min(window, 5), near=float(near), far=float(far))
     if mode == "invwarp":
         winner = jax.lax.stop_gradient(
             _winner_pass_invwarp(

@@ -81,7 +81,7 @@ def main():
         ins = make_inputs()
         b0, b1 = R._build_winner_buffers(*ins, s, s, window, near, far)
         cx, px, _ = (np.asarray(v) for v in R._dense_winner_xla(
-            b0, b1, s, s, window))
+            b0, b1, s, s, window, near, far))
         cv, pv, _ = (np.asarray(v) for v in R._raster_mega_pallas_v2(
             *ins, s, s, window, near, far))
         print(f"v2 winner agreement vs XLA: "
@@ -90,8 +90,8 @@ def main():
     def buffers_plus_winner(vx, vy, vz):
         b0, b1 = R._build_winner_buffers(vx, vy, vz, s, s, window, near, far)
         if R._winner_pallas_ok(s, s, window):
-            return R._dense_winner_pallas(b0, b1, s, s, window)
-        return R._dense_winner_xla(b0, b1, s, s, window)
+            return R._dense_winner_pallas(b0, b1, s, s, window, near, far)
+        return R._dense_winner_xla(b0, b1, s, s, window, near, far)
 
     timed("scatterbuf+winner", jax.jit(buffers_plus_winner))
 

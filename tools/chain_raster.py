@@ -59,7 +59,7 @@ def main():
             return R._raster_mega_pallas_v2(vx, vy, vz, s, s, window, near,
                                             far)
         b0, b1 = R._build_winner_buffers(vx, vy, vz, s, s, window, near, far)
-        return R._dense_winner_pallas(b0, b1, s, s, window)
+        return R._dense_winner_pallas(b0, b1, s, s, window, near, far)
 
     @partial(jax.jit, static_argnames=("length",))
     def chain(vx, vy, vz, length):

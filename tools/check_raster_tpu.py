@@ -92,7 +92,7 @@ def run_checks(sizes=(64, 128), batch=4, seed=0):
         rot, trans = get_transform_matrices(jnp.asarray(views))
         pts = r.get_warped_3d_grid(depth, rot, trans).reshape(batch, -1, 3)
         xs, ys, zs = r._project_screen(pts)
-        window = 3
+        window = 5  # the shipping grid-mode window (matches scatter reach)
         near = r.min_depth - r.margin
         far = r.max_depth + r.margin
 
@@ -104,14 +104,15 @@ def run_checks(sizes=(64, 128), batch=4, seed=0):
         buf0, buf1 = R._build_winner_buffers(vx, vy, vz, s, s, window,
                                              near, far)
         cell_x, par_x, cov_x = (np.asarray(v) for v in R._dense_winner_xla(
-            buf0, buf1, s, s, window))
+            buf0, buf1, s, s, window, near, far))
 
         def check_winner_pallas():
             if not R._winner_pallas_ok(s, s, window):
                 return
             cell_p, par_p, cov_p = (np.asarray(v)
                                     for v in R._dense_winner_pallas(
-                                        buf0, buf1, s, s, window))
+                                        buf0, buf1, s, s, window,
+                                        near, far))
             agree = float(((cell_p == cell_x) & (par_p == par_x)
                            & (cov_p == cov_x)).mean())
             results["checks"].append(
