@@ -64,7 +64,7 @@ def bench_instances(k):
     }))
 
 
-def main():
+def main(raster_window=None):
     import jax
     import jax.numpy as jnp
     from gan2shape_tpu.core.trainer import Trainer
@@ -76,6 +76,8 @@ def main():
         "learning_rate": 1e-4, "prior_name": "box",
         "rot_center_depth": 1.0, "fov": 10,
     }
+    if raster_window is not None:  # A/B knob, shipping default when None
+        config["raster_window"] = raster_window
     trainer = Trainer(config)
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.uniform(-1, 1, (1, 3, 128, 128))
@@ -123,8 +125,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--instances", type=int, default=0,
                     help="bench K instance-batched training on one chip")
+    ap.add_argument("--raster-window", type=int, default=None,
+                    help="override the grid rasterizer window (A/B)")
     args = ap.parse_args()
     if args.instances > 0:
         bench_instances(args.instances)
     else:
-        main()
+        main(raster_window=args.raster_window)

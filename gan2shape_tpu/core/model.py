@@ -131,12 +131,20 @@ class GAN2Shape:
                                    channel_multiplier=self.channel_multiplier)
         self.discriminator = Discriminator(
             size=self.gan_size, channel_multiplier=self.channel_multiplier)
-        self.lpips = LPIPS()
+        # perceptual backbone: 'vgg' is the reference's live path
+        # (lpips/model.py:79-81); 'alex'/'squeeze' are the reference
+        # PerceptualLoss's other net= options — alex is ~10x cheaper to
+        # compile/run and is what the multichip dryrun uses
+        self.lpips = LPIPS(backbone=config.get("lpips_net", "vgg"))
         self.lighting_net = networks.LightingNet(self.image_size)
         self.viewpoint_net = networks.ViewpointNet(self.image_size)
         self.depth_net = networks.DepthNet(self.image_size)
         self.albedo_net = networks.AlbedoNet(self.image_size)
-        self.offset_encoder_net = networks.OffsetEncoder(self.image_size)
+        # cout follows z_dim: the offset feeds the mapping tail
+        # (style_forward), whose input width is style_dim (= 512 in every
+        # reference config; configurable here so tiny-shape dryruns shrink)
+        self.offset_encoder_net = networks.OffsetEncoder(
+            self.image_size, cout=self.z_dim)
 
         self.renderer = Renderer(config, self.image_size, self.min_depth,
                                  self.max_depth)

@@ -279,8 +279,10 @@ def _inv_z_quant(near, far):
     winner pass recover the per-pixel depth with one interpolation and one
     reciprocal — no per-vertex divides.  15-bit over [1/far, 1/near]
     (z error ~1e-5, under half the 14-bit winner-key step)."""
-    r_lo = 1.0 / far
-    r_step = (1.0 / near - 1.0 / far) / 32767.0
+    r_lo = 1.0 / max(far, 1e-6)
+    # guard degenerate near==far / near->0 ranges (mirrors the old zscale
+    # clamp): r_step=0 would divide-by-zero every rq16 quantization
+    r_step = max(1.0 / max(near, 1e-6) - r_lo, 1e-9) / 32767.0
     return r_lo, r_step
 
 
@@ -608,17 +610,22 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
     n_faces = (h - 1) * (w - 1)
     r_lo, r_step = _inv_z_quant(float(near), float(far))
 
+    SENT = 0x7FFFFFFF  # python int: must not be captured as a traced const
+
     def kernel(vx_ref, vy_ref, vz_ref, key_ref, slotbuf, paya,
                smem_row, sem):
         fx = vx_ref[0]
         fy = vy_ref[0]
         fz = vz_ref[0]
 
-        # invalidate the slot buffer: pair3's low half (cell) = -1
+        # invalidate the slot buffer: p3 = SENT — decodes to cell -1 in
+        # Phase C (lo16 sign-extends to -1) AND loses every min-merge
+        # comparison, so Phase B's nearest-face collision rule (below)
+        # needs no empty-slot special case
         for par in range(2):
             for sy in range(2):
                 for sx in range(2):
-                    slotbuf[par, sy, sx, 3] = jnp.full((hp, wp_s), 0xFFFF,
+                    slotbuf[par, sy, sx, 3] = jnp.full((hp, wp_s), SENT,
                                                        jnp.int32)
 
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (n_fr, w), 1)
@@ -701,7 +708,18 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
                         qx_s = (s >> 9) & 0x1FF
                         sy_s = (s >> 18) & 1
                         sx_s = (s >> 19) & 1
-                        hit = lane_ids == qx_s
+                        # nearest-face collision rule: overwrite only if
+                        # this face's packed (32767 - r0q | cell) key beats
+                        # the slot's current one — the same min-merge as
+                        # the v2 kernel's Stage 1/2 and the XLA builder's
+                        # scatter-min (empty slots hold SENT and always
+                        # lose), so all three placement paths agree on
+                        # fold pixels
+                        cur3 = slotbuf[par, sy_s, sx_s, 3,
+                                       pl.ds(qy_s, 1), :]
+                        new3 = jnp.full((1, wp_s), smem_row[3, 0, j],
+                                        jnp.int32)
+                        win = (lane_ids == qx_s) & (new3 < cur3)
                         for p in range(5):
                             cur = slotbuf[par, sy_s, sx_s, p,
                                           pl.ds(qy_s, 1), :]
@@ -709,7 +727,7 @@ def _raster_mega_pallas(vx, vy, vz, h, w, window, near, far):
                                            jnp.int32)
                             slotbuf[par, sy_s, sx_s, p,
                                     pl.ds(qy_s, 1), :] = jnp.where(
-                                hit, val, cur)
+                                win, val, cur)
                     return 0
 
                 jax.lax.fori_loop(0, w - 1, col_body, 0)

@@ -284,7 +284,12 @@ class InstanceParallelTrainer:
             return tuple(
                 self.optimizers[s].init(_split(params, sub)[0])
                 for s, sub in STEP_SUBSETS.items())
-        states = jax.jit(jax.vmap(per_instance))(self.params)
+        # every leaf of the Adam chain's fresh state is zeros (count, mu,
+        # nu; the decay/scale links are EmptyState), so build the tree from
+        # eval_shape instead of compiling a jit(vmap(optax.init)) module —
+        # that compile alone cost ~30 s of every cold multichip dryrun
+        shapes = jax.eval_shape(jax.vmap(per_instance), self.params)
+        states = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
         return jax.device_put(states, self._inst)
 
     def fit(self, images, latents, priors=None, stages=None,

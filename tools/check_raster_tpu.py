@@ -25,15 +25,17 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
-# kernel-vs-oracle: the Pallas kernels and the XLA fallback may resolve
-# slot COLLISIONS (true z-folds) differently (last-write vs scatter order)
-# and differ on f32 bbox ties — ~1% of pixels on MVN-sampled poses
-MIN_WINNER_AGREE = 0.98
+# kernel-vs-oracle: all placement paths now min-merge slot collisions on
+# the same packed (32767 - r0q | cell) key; residual disagreement is f32
+# bbox ties in the kernels' fused arithmetic — measured ≤0.6% on
+# MVN-sampled poses (r5 pin)
+MIN_WINNER_AGREE = 0.99
 # end-to-end grid-vs-scatter over MVN-sampled training poses: total
 # agreement dips at large-rotation tail samples via COVERAGE loss (masked
-# downstream); where grid claims coverage the depth must match
+# downstream); where grid claims coverage the depth must match — the r5
+# per-vertex-1/z winner keys measure 0.9989 (64²) / 0.9993 (128²)
 MIN_DEPTH_AGREE = 0.96
-MIN_COVERED_AGREE = 0.985
+MIN_COVERED_AGREE = 0.998
 
 
 def _training_depth(rng, s):

@@ -67,6 +67,14 @@ def missing_assets(category):
             if not os.path.exists(os.path.join(_ROOT, p))]
 
 
+def _write_run_real(payload):
+    """Single-file driver artifact (repo root RUN_REAL.json): ok/skipped +
+    depth-MAD evidence the moment the release assets exist (the reference's
+    deliverable is the trained-checkpoint gallery, README.md:4-11)."""
+    with open(os.path.join(_ROOT, "RUN_REAL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--category", default="face")
@@ -91,6 +99,9 @@ def main():
             print(f"  {p}  ({why})")
         print("fetch them with `python download_data.py` on a connected "
               "machine, then rerun this command.")
+        _write_run_real({"ok": False, "skipped": True,
+                         "category": args.category,
+                         "missing": [p for p, _ in missing]})
         sys.exit(2)
 
     from gan2shape_tpu.utils.config import load_config
@@ -169,6 +180,7 @@ def main():
 
     with open(os.path.join(out_dir, "REAL_ASSETS.json"), "w") as f:
         json.dump(result, f, indent=1)
+    _write_run_real({"ok": True, "skipped": False, **result})
     print(json.dumps(result, indent=1))
 
 
