@@ -96,7 +96,15 @@ class Renderer:
         self.fov = config.get("fov", 10)
         self.renderer_min_depth = config.get("renderer_min_depth", 0.1)
         self.renderer_max_depth = config.get("renderer_max_depth", 10.0)
-        self.raster_window = config.get("raster_window", 5)
+        # grid-mode candidate window: 3 is the shipping default (faces are
+        # ~1 px in the training regime — measured p50 extent 1.0-1.3 px,
+        # p99 1.5-4.7 under MVN poses; the 8*window^2 Phase-C unroll makes
+        # window 5 cost -2.9% whole-bench for coverage only the extent
+        # tail uses).  Set raster_window: 5 to match the exact scatter
+        # z-buffer's candidate reach pixel-for-pixel (both settings are
+        # pinned on TPU in RASTER_CHECK.json; winner RANKING is exact
+        # per-pixel 1/z at any window — window only bounds coverage).
+        self.raster_window = config.get("raster_window", 3)
         # 'grid' (dense payload-scatter, TPU hot path); sweeps with large
         # rotations force 'scatter' internally
         self.raster_mode = config.get("raster_mode", "grid")

@@ -86,7 +86,11 @@ def run_checks(sizes=(64, 128), batch=4, seed=0):
                  "error": f"{type(e).__name__}: {e}"[:500]})
 
     for s in sizes:
-        r = Renderer({"rot_center_depth": 1.0, "fov": 10}, s, 0.9, 1.1)
+        r = Renderer({"rot_center_depth": 1.0, "fov": 10,
+                      "raster_window": 5}, s, 0.9, 1.1)
+        # the shipping default (renderer.py raster_window=3): same exact
+        # per-pixel 1/z winner ranking, smaller coverage reach
+        r3 = Renderer({"rot_center_depth": 1.0, "fov": 10}, s, 0.9, 1.1)
         depth0 = _training_depth(rng, s)
         depth = jnp.asarray(np.broadcast_to(depth0, (batch, s, s))
                             .astype(np.float32))
@@ -135,10 +139,11 @@ def run_checks(sizes=(64, 128), batch=4, seed=0):
                  "agreement": agree, "min": MIN_WINNER_AGREE,
                  "pass": agree >= MIN_WINNER_AGREE})
 
-        def check_grid_depth():
+        def check_grid_depth(rr=None, tag=""):
             # end-to-end grid depth vs exact scatter z-buffer
-            d_grid = np.asarray(r.warp_canon_depth(depth, rot, trans,
-                                                   raster_mode="grid"))
+            rr = rr if rr is not None else r
+            d_grid = np.asarray(rr.warp_canon_depth(depth, rot, trans,
+                                                    raster_mode="grid"))
             d_exact = np.asarray(r.warp_canon_depth(depth, rot, trans,
                                                     raster_mode="scatter"))
             close = np.isclose(d_grid, d_exact, atol=2e-3)
@@ -146,7 +151,7 @@ def run_checks(sizes=(64, 128), batch=4, seed=0):
             covered = ~np.isclose(d_grid, far)
             cov_agree = float(close[covered].mean())
             results["checks"].append(
-                {"check": f"grid_depth_vs_scatter_s{s}",
+                {"check": f"grid_depth_vs_scatter_s{s}{tag}",
                  "agreement": agree, "min": MIN_DEPTH_AGREE,
                  "covered_agreement": cov_agree,
                  "covered_min": MIN_COVERED_AGREE,
@@ -170,6 +175,8 @@ def run_checks(sizes=(64, 128), batch=4, seed=0):
         guarded(f"raster_mega_pallas_vs_xla_s{s}", check_mega_pallas)
         guarded(f"raster_mega_pallas_v2_vs_xla_s{s}", check_mega_pallas_v2)
         guarded(f"grid_depth_vs_scatter_s{s}", check_grid_depth)
+        guarded(f"grid_depth_vs_scatter_s{s}_w3",
+                lambda: check_grid_depth(r3, "_w3"))
 
     results["ok"] = all(c["pass"] for c in results["checks"])
     return results

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-proj", type=int, default=16)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--raster-window", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -39,6 +40,8 @@ def main():
         "learning_rate": 1e-4, "prior_name": "box",
         "rot_center_depth": 1.0, "fov": 10,
     }
+    if args.raster_window is not None:
+        config["raster_window"] = args.raster_window
     trainer = Trainer(config)
     rng = np.random.default_rng(0)
     n = args.iters
