@@ -66,7 +66,18 @@ def _barycentric(px, py, x0, y0, x1, y1, x2, y2):
 @partial(jax.jit, static_argnames=("h", "w", "window", "near", "far"))
 def _winner_pass(xs, ys, zs, faces, h, w, window, near, far):
     """Returns winner face id per pixel, -1 where uncovered.  xs/ys/zs are
-    (B, N) screen coords + camera depth; faces (F, 3)."""
+    (B, N) screen coords + camera depth; faces (F, 3).
+
+    Ranking is EXACT-f32 nearest-face with lowest-face-id ties — the
+    semantics of nr's z-buffer, which compares raw float depth
+    (/root/reference/GAN2Shape/renderer/renderer.py:120).  IEEE-754 bits
+    of positive floats are order-isomorphic to their int32 bit patterns,
+    so two segment-min passes (min depth bits per pixel, then min face id
+    among that depth's candidates) implement the full lexicographic
+    (depth, id) order without int64 (x64 stays off).  A quantized
+    single-pass key (the r1-r4 design) left a ~1e-7/bin-size band of
+    cross-framework boundary flips that dominated the depth-MAD parity
+    envelope (PARITY.md)."""
     b, _ = xs.shape
     f = faces.shape[0]
     assert f < 2 ** FACE_BITS, "face id overflow; raise FACE_BITS"
@@ -84,8 +95,6 @@ def _winner_pass(xs, ys, zs, faces, h, w, window, near, far):
     face_ids = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.int32)[None, :], (b, f))
     batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
-
-    depth_scale = (2 ** DEPTH_BITS - 1) / (far - near)
 
     # vectorize the WINDOW x WINDOW candidate offsets as a leading axis
     # (one fused computation instead of window**2 unrolled subgraphs)
@@ -108,15 +117,19 @@ def _winner_pass(xs, ys, zs, faces, h, w, window, near, far):
     inbounds = (px_i >= 0) & (px_i < w) & (py_i >= 0) & (py_i < h)
     ok = inside & inbounds & (z > 0)
 
-    zq = jnp.clip((z - near) * depth_scale, 0, 2 ** DEPTH_BITS - 1)
-    packed = (zq.astype(jnp.int32) << FACE_BITS) | face_ids[None]
-    packed = jnp.where(ok, packed, _SENTINEL)
+    zbits = jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.int32)
+    zbits = jnp.where(ok, zbits, _SENTINEL)  # z > 0 => bits in [0, 2^31)
 
     pix = jnp.clip(py_i, 0, h - 1) * w + jnp.clip(px_i, 0, w - 1)
     seg = (batch_off[None] + pix).reshape(-1)
-    val = packed.reshape(-1)
-    buf = jax.ops.segment_min(val, seg, num_segments=b * h * w)
-    winner = jnp.where(buf == _SENTINEL, -1, buf & (2 ** FACE_BITS - 1))
+    buf_z = jax.ops.segment_min(zbits.reshape(-1), seg,
+                                num_segments=b * h * w)
+    won_z = zbits.reshape(-1) == buf_z[seg]
+    fid = jnp.where(won_z & ok.reshape(-1),
+                    jnp.broadcast_to(face_ids[None], zbits.shape
+                                     ).reshape(-1), _SENTINEL)
+    buf_f = jax.ops.segment_min(fid, seg, num_segments=b * h * w)
+    winner = jnp.where(buf_z == _SENTINEL, -1, buf_f)
     return winner.reshape(b, h, w)
 
 

@@ -188,11 +188,17 @@ class Renderer:
         pts = self.get_warped_3d_grid(canon_depth, rot_mat,
                                       trans_xyz).reshape(b, -1, 3)
         xs, ys, zs = self._project_screen(pts)
+        mode = raster_mode or self.raster_mode
+        # raster_window is the GRID-mode cost/coverage knob; the 'scatter'
+        # z-buffer is the exactness oracle and keeps its full candidate
+        # reach regardless (window only bounds its bbox-offset sweep)
+        window = self.raster_window if mode == "grid" \
+            else max(self.raster_window, 5)
         depth = rasterize_depth(
-            xs, ys, zs, self.faces, h, w, window=self.raster_window,
+            xs, ys, zs, self.faces, h, w, window=window,
             near=self.min_depth - self.margin,
             far=self.max_depth + self.margin,
-            mode=raster_mode or self.raster_mode, search=self.raster_search)
+            mode=mode, search=self.raster_search)
         return jnp.clip(depth, self.min_depth - self.margin,
                         self.max_depth + self.margin)
 
@@ -203,8 +209,11 @@ class Renderer:
         b, c, h, w = im.shape
         xs, ys, zs = self._project_screen(pts.reshape(b, -1, 3))
         attrs = im.transpose(0, 2, 3, 1).reshape(b, -1, c)
+        # mesh-RGB renders go through the scatter winner pass (large
+        # visualization sweeps): keep the full candidate reach
+        window = max(self.raster_window, 5)
         img, cov = rasterize_attributes(
-            xs, ys, zs, attrs, self.faces, h, w, window=self.raster_window,
+            xs, ys, zs, attrs, self.faces, h, w, window=window,
             near=self.renderer_min_depth, far=self.renderer_max_depth,
             background=background)
         img = jnp.clip(img, -1.0, 1.0)
@@ -212,7 +221,7 @@ class Renderer:
             mattrs = mask.transpose(0, 2, 3, 1).reshape(b, -1, mask.shape[1])
             m, _ = rasterize_attributes(
                 xs, ys, zs, mattrs, self.faces, h, w,
-                window=self.raster_window, near=self.renderer_min_depth,
+                window=window, near=self.renderer_min_depth,
                 far=self.renderer_max_depth, background=0.0)
             return img, jnp.clip(m, -1.0, 1.0)
         return img, cov

@@ -16,9 +16,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# rbg PRNG: XLA:CPU compiles threefry's unrolled rotate/xor chains
+# pathologically slowly (3x+ on net-init modules, measured in the multichip
+# dryrun work).  Tests never depend on specific key-stream values — torch
+# goldens convert explicit weights, statistical asserts only need
+# independent draws — so the cheaper-to-compile generator is right here.
+jax.config.update("jax_default_prng_impl", "rbg")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+from gan2shape_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+# persistent XLA compile cache (CPU-feature-fingerprint keyed): cold suite
+# cost is XLA:CPU compiles; reruns on the same host skip them entirely
+enable_compilation_cache()
 
 
 @pytest.fixture

@@ -42,15 +42,19 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
-DEPTH_BITS = 14
-FACE_BITS = 17
-_SENT = 2 ** 31 - 1
+_SENT64 = 2 ** 63 - 1  # above any (f32-bits << 32 | id) key (bits < 2^31)
 
 
 def _torch_render_depth(vertices, faces, K, h, w, near, far, window=5):
     """Differentiable torch z-buffer over projected grid-mesh vertices —
     the same winner-pass + interpolation math as ops/rasterize.py
-    ('scatter' mode), so both frameworks rasterize identically."""
+    ('scatter' mode), so both frameworks rasterize identically.
+
+    Ranking matches `_winner_pass` exactly: EXACT-f32 nearest depth with
+    lowest-face-id ties, via the int64 lexicographic key
+    (float32 bits of z << 32) | id — positive floats' IEEE bits are
+    order-isomorphic to their int32 patterns, so this equals the JAX
+    side's two-pass (depth-bits, id) segment-min bit for bit."""
     b, n, _ = vertices.shape
     proj = vertices @ K.T
     z = proj[..., 2].clamp(min=1e-6)
@@ -65,9 +69,8 @@ def _torch_render_depth(vertices, faces, K, h, w, near, far, window=5):
         fz = zs[:, faces]
         bx = torch.floor(fx.min(-1).values).int()
         by = torch.floor(fy.min(-1).values).int()
-        depth_scale = (2 ** DEPTH_BITS - 1) / (far - near)
         face_ids = torch.arange(f, dtype=torch.int32)[None].expand(b, f)
-        buf = torch.full((b * h * w,), _SENT, dtype=torch.int64)
+        buf = torch.full((b * h * w,), _SENT64, dtype=torch.int64)
         for oy in range(window):
             for ox in range(window):
                 px_i = bx + ox
@@ -88,17 +91,18 @@ def _torch_render_depth(vertices, faces, K, h, w, near, far, window=5):
                 ok = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
                       & (denom.abs() > 1e-12) & (zf > 0)
                       & (px_i >= 0) & (px_i < w) & (py_i >= 0) & (py_i < h))
-                zq = ((zf - near) * depth_scale).clamp(0, 2 ** DEPTH_BITS - 1)
-                packed = (zq.long() << FACE_BITS) | face_ids.long()
+                zbits = zf.float().view(torch.int32).long()
+                packed = (zbits << 32) | face_ids.long()
                 packed = torch.where(ok, packed,
-                                     torch.full_like(packed, _SENT))
+                                     torch.full_like(packed,
+                                                     _SENT64))
                 pix = (py_i.clamp(0, h - 1) * w
                        + px_i.clamp(0, w - 1)).long()
                 seg = (pix + torch.arange(b)[:, None] * (h * w)).reshape(-1)
                 buf = buf.scatter_reduce(0, seg, packed.reshape(-1),
                                          reduce="amin")
-        winner = torch.where(buf == _SENT, torch.full_like(buf, -1),
-                             buf & (2 ** FACE_BITS - 1)).reshape(b, h * w)
+        winner = torch.where(buf == _SENT64, torch.full_like(buf, -1),
+                             buf & 0xFFFFFFFF).reshape(b, h * w)
         covered = winner >= 0
         tri = faces[winner.clamp(min=0)].long()  # (B, P, 3)
 
@@ -523,20 +527,52 @@ def test_step3_trajectory_and_depth_mad(ref_env, rng):
     assert abs(our_losses[0] - ref_losses[0]) < 1e-4
 
     # depth-MAD (the BASELINE.md fidelity metric) after joint training.
-    # Measured gradient parity at iteration 0: lighting 3e-5, albedo 1e-3,
-    # viewpoint 3e-2, depth 6e-2 worst-leaf relative — the larger two flow
-    # through the rasterizer, where f32 z-quantization tie flips between the
-    # two frameworks change a handful of pixels' winner faces; Adam's
-    # normalized updates amplify that over iterations.  The bound below is
-    # that optimizer-divergence envelope (recorded in PARITY.md), not a
-    # method discrepancy: iteration-0 losses match to <1e-6 relative.
+    # The r5 exact-f32 winner ranking makes the rasterizer itself
+    # near-bit-equal across frameworks (forward depth 2.4e-7 max, grad
+    # 3.7e-5 relative, measured torch-vs-jax on identical inputs); the
+    # remaining envelope is OPTIMIZER SIGN NOISE: Adam's normalized update
+    # moves every near-zero-gradient weight by ~lr in the direction of
+    # sign(grad), and sub-1e-7 framework noise flips those signs.  The
+    # floor is MEASURED below by running OUR side twice with a 1e-7
+    # relative gradient perturbation — the torch-vs-jax MAD must stay
+    # within a small multiple of that self-noise floor.
+    def depth_of(sub):
+        raw = model.depth_net.apply(sub["depth"], j_img)[:, 0]
+        return np.asarray(model.rescale_depth(jnp.tanh(
+            raw - jnp.mean(raw, axis=(1, 2), keepdims=True))))
+
     with torch.no_grad():
         d_raw = ref.depth_net(t_img).squeeze(1)
         centered = d_raw - d_raw.reshape(1, -1).mean()
         want = ref.rescale_depth(centered.tanh()).numpy()
-    got_raw = model.depth_net.apply(sub["depth"], j_img)[:, 0]
-    got = np.asarray(model.rescale_depth(jnp.tanh(
-        got_raw - jnp.mean(got_raw, axis=(1, 2), keepdims=True))))
+    got = depth_of(sub)
     mad = np.abs(got - want).mean()
     print(f"step3 {n_iters}-iteration depth MAD vs torch: {mad:.2e}")
+
+    # self-noise floor: identical math, gradients perturbed by 1e-7 rel
+    sub_n, _ = _split(params, STEP_SUBSETS[3])
+    opt_state_n = optimizer.init(sub_n)
+    key = jax.random.PRNGKey(42)
+
+    @jax.jit
+    def step_noisy(sub, opt_state, key):
+        def loss_fn(sub):
+            return model.forward_step3({**rest, **sub}, frozen, j_img,
+                                       None, coll_j)[0]
+        loss, grads = jax.value_and_grad(loss_fn)(sub)
+        leaves, tdef = jax.tree_util.tree_flatten(grads)
+        keys = jax.random.split(key, len(leaves))
+        leaves = [g * (1.0 + 1e-7 * jax.random.normal(k, g.shape))
+                  for g, k in zip(leaves, keys)]
+        grads = jax.tree_util.tree_unflatten(tdef, leaves)
+        updates, opt_state = optimizer.update(grads, opt_state, sub)
+        return optax.apply_updates(sub, updates), opt_state, loss
+
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        sub_n, opt_state_n, _ = step_noisy(sub_n, opt_state_n, k)
+    floor = np.abs(depth_of(sub_n) - got).mean()
+    print(f"step3 {n_iters}-iteration Adam sign-noise MAD floor "
+          f"(1e-7 rel grad perturbation, same framework): {floor:.2e}")
     assert mad < 2.5e-2, f"depth MAD {mad:.2e}"
+    assert mad < max(4.0 * floor, 5e-3), (mad, floor)
