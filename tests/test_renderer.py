@@ -96,16 +96,18 @@ def test_rasterize_occlusion_front_wins():
     z_far = np.full((1, h * w), 1.2, np.float32)
     z_near = np.full((1, h * w), 0.8, np.float32)
 
+    # window=3: the occlusion property is window-independent and the
+    # default-5 grid graph costs 2.7x the XLA:CPU compile (8*window^2)
     d_far = np.asarray(rasterize_depth(
         jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(z_far), faces, h, w,
-        near=0.5, far=1.5))
+        window=3, near=0.5, far=1.5))
     d_min = np.asarray(rasterize_depth(
         jnp.asarray(np.concatenate([xs, xs], 1)),
         jnp.asarray(np.concatenate([ys, ys], 1)),
         jnp.asarray(np.concatenate([z_far, z_near], 1)),
         jnp.asarray(np.concatenate([grid_faces(h, w),
                                     grid_faces(h, w) + h * w], 0)),
-        h, w, near=0.5, far=1.5))
+        h, w, window=3, near=0.5, far=1.5))
     assert np.allclose(d_far[0, :-1, :-1], 1.2, atol=1e-3)
     assert np.allclose(d_min[0, :-1, :-1], 0.8, atol=1e-3)
 
@@ -120,7 +122,7 @@ def test_rasterize_uncovered_gets_far():
     ys = jnp.asarray(ys_grid.reshape(-1)[None])
     zs = jnp.full((1, h * w), 1.0)
     d = np.asarray(rasterize_depth(xs, ys, zs, faces, h, w,
-                                   near=0.5, far=1.5))
+                                   window=3, near=0.5, far=1.5))
     np.testing.assert_allclose(d, 1.5)
 
 
